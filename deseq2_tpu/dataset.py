@@ -1,0 +1,314 @@
+"""The DESeqDataSet equivalent: a host-side container of arrays.
+
+Reference data model (R/AllClasses.R:3-330, R/methods.R): everything the
+pipeline computes lives *in the object* — per-gene scalars in `row_data`
+(mcols), gene x sample matrices in `assays`, run-level scalars in `attrs`.
+That everything-in-the-object state model gives free checkpoint/resume
+(serialize any prefix of the pipeline) which we keep.
+
+Device placement: counts and assays are host numpy; compute stages upload
+once per jitted kernel call.  The orchestration layer is host Python, the
+kernels are pure jitted JAX functions over the genes axis.
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+
+import numpy as np
+
+from .config import DESeqConfig, DEFAULT
+from .formula import (Factor, Formula, build_model_matrix, make_names,
+                      parse_formula, rename_model_matrix_columns)
+
+__all__ = ["DESeqDataSet", "dataset_from_matrix", "dataset_from_htseq_count"]
+
+
+class DispersionFunction:
+    """Fitted mean-dispersion trend + its attributes.
+
+    Mirrors the reference's dispersionFunction closure with attributes
+    fitType, coefficients, dispPriorVar, varLogDispEsts, mean
+    (R/methods.R:142-194, R/core.R:2166-2203).
+    """
+
+    def __init__(self, fn, fit_type, coefficients=None, mean=None):
+        self._fn = fn
+        self.fit_type = fit_type
+        self.coefficients = coefficients  # (asymptDisp, extraPois) for parametric
+        self.mean = mean                  # for fitType="mean"
+        self.disp_prior_var = None
+        self.var_log_disp_ests = None
+
+    def __call__(self, means):
+        return self._fn(np.asarray(means, dtype=np.float64))
+
+
+class DESeqDataSet:
+    """Count matrix + column metadata + design + accumulated results."""
+
+    def __init__(self, counts, col_data, design, row_names=None,
+                 col_names=None, config: DESeqConfig = DEFAULT,
+                 check_counts=True):
+        counts = np.asarray(counts)
+        if check_counts:
+            if counts.ndim != 2:
+                raise ValueError("counts must be a 2-D matrix (genes x samples)")
+            if np.any(np.isnan(counts.astype(np.float64))):
+                raise ValueError("NA values are not allowed in the count matrix")
+            if counts.dtype.kind == "f":
+                if not np.allclose(counts, np.round(counts)):
+                    raise ValueError("some values in assay are not integers")
+                counts = np.round(counts)
+            if np.any(counts < 0):
+                raise ValueError("some values in assay are negative")
+        self.counts = counts.astype(np.int64)
+        n_genes, n_samples = self.counts.shape
+
+        # column data: coerce object/str arrays to Factors (with R's message
+        # semantics dropped; reference AllClasses.R:205-214)
+        self.col_data = {}
+        for k, v in dict(col_data).items():
+            if isinstance(v, Factor):
+                self.col_data[k] = v
+            else:
+                arr = np.asarray(v)
+                if arr.dtype.kind in "OUS" or arr.dtype == bool:
+                    self.col_data[k] = Factor(arr.astype(str))
+                else:
+                    self.col_data[k] = arr
+            if len(self.col_data[k]) != n_samples:
+                raise ValueError(f"colData column '{k}' length != number of samples")
+
+        self.design = design if isinstance(design, np.ndarray) else parse_formula(design)
+        self._validate_design()
+
+        self.row_names = list(row_names) if row_names is not None else \
+            [f"gene{i+1}" for i in range(n_genes)]
+        self.col_names = list(col_names) if col_names is not None else \
+            [f"sample{i+1}" for i in range(n_samples)]
+
+        self.row_data = {}    # mcols: name -> (G,) array
+        self.row_meta = {}    # name -> (type, description)
+        self.assays = {}      # name -> (G,S) array (mu, H, cooks, weights, ...)
+        self.attrs = {}       # betaPrior, betaPriorVar, modelMatrix, test, ...
+        self.metadata = {}
+        self.dispersion_function = None
+        self.config = config
+
+    # -- validity ----------------------------------------------------------
+    def _validate_design(self):
+        if isinstance(self.design, np.ndarray):
+            check_full_rank(self.design)
+            return
+        for v in self.design.variables:
+            if v not in self.col_data:
+                raise ValueError(
+                    f"all variables in design formula must be columns in colData: missing '{v}'")
+            val = self.col_data[v]
+            if isinstance(val, Factor):
+                if any(c == 0 for c in val.table().values()):
+                    raise ValueError(
+                        "factors in design formula must have samples for each level; "
+                        "use droplevels()")
+        if self.design.variables:
+            mm, _, _ = build_model_matrix(self.design, self.col_data,
+                                          n_rows=self.counts.shape[1])
+            check_full_rank(mm)
+
+    # -- basic geometry ------------------------------------------------------
+    @property
+    def n_genes(self):
+        return self.counts.shape[0]
+
+    @property
+    def n_samples(self):
+        return self.counts.shape[1]
+
+    def copy(self):
+        new = DESeqDataSet.__new__(DESeqDataSet)
+        new.counts = self.counts.copy()
+        new.col_data = {k: (v[slice(None)] if isinstance(v, Factor) else v.copy())
+                        for k, v in self.col_data.items()}
+        new.design = self.design
+        new.row_names = list(self.row_names)
+        new.col_names = list(self.col_names)
+        new.row_data = {k: v.copy() for k, v in self.row_data.items()}
+        new.row_meta = dict(self.row_meta)
+        new.assays = {k: v.copy() for k, v in self.assays.items()}
+        new.attrs = dict(self.attrs)
+        new.metadata = dict(self.metadata)
+        new.dispersion_function = _copy.copy(self.dispersion_function)
+        new.config = self.config
+        return new
+
+    def subset_genes(self, idx):
+        """Row-subset (genes); mirrors dds[idx, ] in the reference."""
+        idx = np.asarray(idx)
+        if idx.dtype == bool:
+            idx = np.where(idx)[0]
+        new = self.copy()
+        new.counts = self.counts[idx]
+        new.row_names = [self.row_names[i] for i in idx]
+        new.row_data = {k: v[idx] for k, v in self.row_data.items()}
+        new.assays = {k: v[idx] for k, v in self.assays.items()}
+        return new
+
+    # -- accessors mirroring reference R/methods.R --------------------------
+    @property
+    def size_factors(self):
+        return self.col_data.get("sizeFactor")
+
+    @size_factors.setter
+    def size_factors(self, sf):
+        sf = np.asarray(sf, dtype=np.float64)
+        if np.any(~np.isfinite(sf)) or np.any(sf <= 0):
+            raise ValueError("size factors must be positive and finite")
+        self.col_data["sizeFactor"] = sf
+
+    @property
+    def normalization_factors(self):
+        return self.assays.get("normalizationFactors")
+
+    @normalization_factors.setter
+    def normalization_factors(self, nf):
+        nf = np.asarray(nf, dtype=np.float64)
+        if np.any(~np.isfinite(nf)) or np.any(nf <= 0):
+            raise ValueError("normalization factors must be positive and finite")
+        if nf.shape != self.counts.shape:
+            raise ValueError("normalization factors must match counts shape")
+        self.assays["normalizationFactors"] = nf
+
+    @property
+    def dispersions(self):
+        return self.row_data.get("dispersion")
+
+    @dispersions.setter
+    def dispersions(self, d):
+        self.set_row_data("dispersion", np.asarray(d, dtype=np.float64),
+                          "input", "final estimate of dispersion")
+
+    def size_or_norm_factors(self):
+        """(G,S) matrix of normalization factors (reference
+        getSizeOrNormFactors, R/core.R:2221-2228)."""
+        if self.normalization_factors is not None:
+            return self.normalization_factors
+        if self.size_factors is None:
+            raise ValueError("first call estimate_size_factors")
+        return np.broadcast_to(self.size_factors[None, :], self.counts.shape).copy()
+
+    def counts_normalized(self):
+        return self.counts.astype(np.float64) / self.size_or_norm_factors()
+
+    def set_row_data(self, name, values, type_, description):
+        self.row_data[name] = np.asarray(values)
+        self.row_meta[name] = (type_, description)
+
+    def remove_row_data(self, names):
+        for n in names:
+            self.row_data.pop(n, None)
+            self.row_meta.pop(n, None)
+
+    def remove_results(self):
+        res_cols = [n for n, (t, _) in self.row_meta.items() if t == "results"]
+        self.remove_row_data(res_cols)
+
+    def results_names(self):
+        """Coefficient column names: those described as log2 fold changes
+        (reference resultsNames, R/results.R:619-621)."""
+        return [n for n, (t, d) in self.row_meta.items()
+                if "log2 fold change" in d]
+
+    # -- design matrices -----------------------------------------------------
+    def model_matrix(self, formula=None):
+        """(S,p) design matrix + R-convention column names.
+
+        Reference getModelMatrix (R/core.R:2689-2695)."""
+        design = self.design if formula is None else parse_formula(formula)
+        if isinstance(design, np.ndarray):
+            names = self.attrs.get("designMatrixNames")
+            if names is None:
+                names = [f"x{i+1}" for i in range(design.shape[1])]
+            return design.astype(np.float64), list(names)
+        mm, names, _ = build_model_matrix(design, self.col_data,
+                                          n_rows=self.n_samples)
+        return mm, names
+
+    def renamed_model_matrix(self, formula=None, rename=True):
+        """Model matrix with DESeq2-style column names:
+        (Intercept)->Intercept, conditionB->condition_B_vs_A when the design
+        has an intercept (reference fitNbinomGLMs.R:47-59)."""
+        mm, names = self.model_matrix(formula)
+        names = ["Intercept" if n == "(Intercept)" else n for n in names]
+        names = make_names(names)
+        if rename and not isinstance(self.design, np.ndarray):
+            design = self.design if formula is None else parse_formula(formula)
+            conv = rename_model_matrix_columns(self.col_data, design)
+            names = [conv.get(n, n) for n in names]
+        return mm, names
+
+    def design_has_intercept(self):
+        if isinstance(self.design, np.ndarray):
+            return False
+        return self.design.intercept
+
+    def __repr__(self):
+        return (f"DESeqDataSet: {self.n_genes} genes x {self.n_samples} samples, "
+                f"design {self.design}, "
+                f"row_data [{', '.join(self.row_data)}], "
+                f"assays [{', '.join(self.assays)}]")
+
+
+def check_full_rank(model_matrix):
+    """Reference checkFullRank (R/core.R:2624-2644)."""
+    mm = np.asarray(model_matrix, dtype=np.float64)
+    if np.linalg.matrix_rank(mm) < mm.shape[1]:
+        if np.any(np.all(mm == 0, axis=0)):
+            raise ValueError(
+                "the model matrix is not full rank, so the model cannot be fit as "
+                "specified. Levels or combinations of levels without any samples have "
+                "resulted in column(s) of zeros in the model matrix.")
+        raise ValueError(
+            "the model matrix is not full rank, so the model cannot be fit as "
+            "specified. One or more variables or interaction terms in the design "
+            "formula are linear combinations of the others and must be removed.")
+
+
+def dataset_from_matrix(count_data, col_data, design, row_names=None,
+                        col_names=None, **kw):
+    """Constructor mirroring DESeqDataSetFromMatrix (R/AllClasses.R:334-382)."""
+    return DESeqDataSet(count_data, col_data, design,
+                        row_names=row_names, col_names=col_names, **kw)
+
+
+def dataset_from_htseq_count(sample_files, col_data, design, directory=".",
+                             **kw):
+    """Read htseq-count output files (reference R/AllClasses.R:386-405).
+
+    sample_files: list of file paths (tab-separated gene<TAB>count), one per
+    sample.  Rows whose names start with '__' (htseq special counters) are
+    dropped.
+    """
+    import os
+    tables = []
+    gene_names = None
+    for f in sample_files:
+        path = os.path.join(directory, f)
+        names, vals = [], []
+        with open(path) as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 2:
+                    continue
+                names.append(parts[0])
+                vals.append(int(float(parts[-1])))
+        keep = [i for i, n in enumerate(names) if not n.startswith("__")]
+        names = [names[i] for i in keep]
+        vals = [vals[i] for i in keep]
+        if gene_names is None:
+            gene_names = names
+        elif names != gene_names:
+            raise ValueError("gene names differ between htseq-count files")
+        tables.append(vals)
+    counts = np.array(tables, dtype=np.int64).T
+    return DESeqDataSet(counts, col_data, design, row_names=gene_names, **kw)

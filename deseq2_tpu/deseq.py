@@ -1,0 +1,107 @@
+"""The DESeq() pipeline driver (reference R/core.R:280-432)."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+from .dataset import check_full_rank
+from .dispersions import estimate_dispersions, n_or_more_in_cell
+from .formula import parse_formula
+from .lrt import check_lrt, nbinom_lrt
+from .outliers import refit_without_outliers
+from .sizefactors import estimate_size_factors
+from .wald import nbinom_wald_test
+
+
+def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
+          beta_prior=False, full=None, reduced=None, quiet=True,
+          min_replicates_for_replace=7, model_matrix_type=None,
+          use_t=False, minmu=0.5):
+    """size factors -> dispersions -> Wald or LRT -> outlier refit.
+
+    Mirrors the reference's argument checking and stage sequencing
+    (R/core.R:288-432).
+    """
+    if test not in ("Wald", "LRT"):
+        raise ValueError("test must be 'Wald' or 'LRT'")
+    if fit_type not in ("parametric", "local", "mean", "glmGamPoi"):
+        raise ValueError("unknown fitType")
+    if sf_type not in ("ratio", "poscounts", "iterate"):
+        raise ValueError("unknown sfType")
+    if fit_type == "glmGamPoi":
+        min_replicates_for_replace = np.inf
+
+    model_as_formula = (full is None or not isinstance(full, np.ndarray)) \
+        and not isinstance(dds.design, np.ndarray)
+
+    if test == "LRT":
+        if reduced is None:
+            raise ValueError("likelihood ratio test requires a 'reduced' "
+                             "design, see ?DESeq")
+        if beta_prior:
+            raise ValueError("test='LRT' does not support use of LFC "
+                             "shrinkage, use betaPrior=FALSE")
+        if model_matrix_type == "expanded":
+            raise ValueError("test='LRT' does not support use of expanded "
+                             "model matrix")
+        if isinstance(full, np.ndarray) != isinstance(reduced, np.ndarray) \
+                and full is not None:
+            raise ValueError("if one of 'full' and 'reduced' is a matrix, "
+                             "the other must be also a matrix")
+        if model_as_formula:
+            check_lrt(full if full is not None else dds.design, reduced)
+        else:
+            check_full_rank(full)
+            check_full_rank(reduced)
+            if full.shape[1] <= reduced.shape[1]:
+                raise ValueError("the number of columns of 'full' should be "
+                                 "more than the number of columns of "
+                                 "'reduced'")
+    if test == "Wald" and reduced is not None:
+        raise ValueError("'reduced' ignored when test='Wald'")
+
+    if model_as_formula:
+        if full is not None and parse_formula(full) != dds.design:
+            raise ValueError("'full' specified as formula should equal "
+                             "design(object)")
+        if not dds.design.variables and not quiet:
+            warnings.warn("the design is ~ 1 (just an intercept). "
+                          "is this intended?")
+        model_matrix = None
+    else:
+        if beta_prior:
+            raise ValueError("betaPrior=TRUE is not supported for "
+                             "user-provided model matrices")
+        model_matrix = full if full is not None else dds.design
+        check_full_rank(model_matrix)
+
+    dds = dds.copy()
+    dds.attrs["betaPrior"] = beta_prior
+
+    if dds.size_factors is None and dds.normalization_factors is None:
+        dds = estimate_size_factors(dds, type=sf_type, quiet=quiet)
+
+    dds = estimate_dispersions(dds, fit_type=fit_type, quiet=quiet,
+                               model_matrix=model_matrix, min_mu=minmu)
+    if test == "Wald":
+        dds = nbinom_wald_test(dds, beta_prior=beta_prior, quiet=quiet,
+                               model_matrix=model_matrix,
+                               model_matrix_type=model_matrix_type,
+                               use_t=use_t, min_mu=minmu)
+    else:
+        dds = nbinom_lrt(dds, full=full if full is not None else dds.design,
+                         reduced=reduced, quiet=quiet, min_mu=minmu)
+
+    if np.isfinite(min_replicates_for_replace):
+        sufficient = np.any(n_or_more_in_cell(dds.attrs["modelMatrix"],
+                                              min_replicates_for_replace))
+        if sufficient:
+            dds = refit_without_outliers(
+                dds, test=test, beta_prior=beta_prior, full=full,
+                reduced=reduced, quiet=quiet,
+                min_replicates_for_replace=min_replicates_for_replace,
+                model_matrix=model_matrix,
+                model_matrix_type=model_matrix_type)
+    return dds

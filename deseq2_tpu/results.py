@@ -1,0 +1,605 @@
+"""Results tables: contrasts, alt hypotheses, Cook's masking, independent
+filtering, BH adjustment.
+
+Reference: results() (R/results.R:298-615), pvalueAdjustment/filtered_p
+(R/results.R:638-740), getContrast/cleanContrast (R/results.R:760-1040),
+contrast zero-zero handling (R/results.R:1237-1270).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from scipy.stats import f as f_dist
+from scipy.stats import norm, t as t_dist
+
+import jax.numpy as jnp
+
+from .formula import Factor, make_names
+from .glm import get_and_check_weights
+from .ops import irls
+from .quantiles import r_quantile_type7
+from .stats_r import p_adjust_bh, r_lowess
+
+LOG2E = np.log2(np.e)
+LN2 = np.log(2.0)
+
+
+@dataclass
+class DESeqResults:
+    """Results table (reference DESeqResults, R/AllClasses.R:431-456)."""
+
+    base_mean: np.ndarray
+    log2_fold_change: np.ndarray
+    lfc_se: np.ndarray
+    stat: np.ndarray
+    pvalue: np.ndarray
+    padj: np.ndarray = None
+    svalue: np.ndarray = None
+    row_names: list = None
+    descriptions: dict = field(default_factory=dict)
+    prior_info: dict = field(default_factory=dict)
+    metadata: dict = field(default_factory=dict)
+    extra_columns: dict = field(default_factory=dict)
+
+    # pandas-free column access
+    def __getitem__(self, key):
+        mapping = {"baseMean": "base_mean", "log2FoldChange":
+                   "log2_fold_change", "lfcSE": "lfc_se", "stat": "stat",
+                   "pvalue": "pvalue", "padj": "padj", "svalue": "svalue"}
+        if key in mapping:
+            return getattr(self, mapping[key])
+        return self.extra_columns[key]
+
+    @property
+    def column_names(self):
+        cols = ["baseMean", "log2FoldChange", "lfcSE", "stat", "pvalue"]
+        if self.padj is not None:
+            cols.append("padj")
+        if self.svalue is not None:
+            cols.append("svalue")
+        return cols + list(self.extra_columns)
+
+    def to_dict(self):
+        return {c: self[c] for c in self.column_names}
+
+    def summary(self, alpha=None):
+        """Census of up/down/outlier/low-count genes
+        (reference summary method, R/methods.R:766-824)."""
+        if alpha is None:
+            alpha = self.metadata.get("alpha", 0.1)
+        pv = self.padj if self.padj is not None else self.pvalue
+        notallzero = self.base_mean > 0
+        up = np.nansum((pv < alpha) & (self.log2_fold_change > 0))
+        down = np.nansum((pv < alpha) & (self.log2_fold_change < 0))
+        outlier = int(np.sum(notallzero & np.isnan(self.pvalue)))
+        ft = self.metadata.get("filterThreshold")
+        if ft is not None:
+            lowcounts = int(np.sum(notallzero & ~np.isnan(self.pvalue)
+                                   & np.isnan(pv)))
+        else:
+            lowcounts = 0
+        total = int(np.sum(notallzero))
+        lines = [
+            f"out of {total} with nonzero total read count",
+            f"adjusted p-value < {alpha}",
+            f"LFC > 0 (up)       : {int(up)}, "
+            f"{100 * up / total:.2g}%",
+            f"LFC < 0 (down)     : {int(down)}, "
+            f"{100 * down / total:.2g}%",
+            f"outliers [1]       : {outlier}, "
+            f"{100 * outlier / total:.2g}%",
+            f"low counts [2]     : {lowcounts}, "
+            f"{100 * lowcounts / total:.2g}%",
+        ]
+        if ft is not None:
+            lines.append(f"(mean count < {float(ft):.2g})")
+        return "\n".join(lines)
+
+
+def results_names(dds):
+    return dds.results_names()
+
+
+def remove_results(dds):
+    dds = dds.copy()
+    dds.remove_results()
+    return dds
+
+
+# ---------------------------------------------------------------------------
+# results()
+# ---------------------------------------------------------------------------
+
+def results(dds, contrast=None, name=None, lfc_threshold=0.0,
+            alt_hypothesis="greaterAbs", list_values=(1, -1),
+            cooks_cutoff=None, independent_filtering=True, alpha=0.1,
+            filter=None, theta=None, p_adjust_method="BH", test=None,
+            minmu=0.5):
+    """Extract a results table (reference results(), R/results.R:298-615)."""
+    if alt_hypothesis not in ("greaterAbs", "lessAbs", "greater", "less",
+                              "greaterAbs2014"):
+        raise ValueError("unknown altHypothesis")
+    if lfc_threshold < 0:
+        raise ValueError("lfcThreshold must be non-negative")
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0,1)")
+    if not any(t == "results" for t, _ in dds.row_meta.values()):
+        raise ValueError("couldn't find results. you should first run deseq()")
+    if test is None:
+        test = dds.attrs["test"]
+    elif test == "Wald" and dds.attrs["test"] == "LRT":
+        dds = make_wald_test(dds)
+    elif test == "LRT" and dds.attrs["test"] == "Wald":
+        raise ValueError("the LRT requires the user to run nbinom_lrt or "
+                         "deseq(dds, test='LRT')")
+    if lfc_threshold == 0 and alt_hypothesis == "lessAbs":
+        raise ValueError("when testing altHypothesis='lessAbs', set "
+                         "lfcThreshold to a positive value")
+
+    res_names = dds.results_names()
+    is_expanded = dds.attrs.get("modelMatrixType") == "expanded"
+    has_intercept = dds.design_has_intercept() \
+        if not isinstance(dds.design, np.ndarray) else False
+
+    # default contrast: last level vs first level of the last design factor
+    if not isinstance(dds.design, np.ndarray):
+        terms_order = dds.design.term_orders
+        if (test == "Wald" and (is_expanded or not has_intercept)
+                and contrast is None and name is None
+                and all(o < 2 for o in terms_order)):
+            design_vars = dds.design.variables
+            last_var = design_vars[-1] if design_vars else None
+            if last_var is not None and isinstance(
+                    dds.col_data.get(last_var), Factor):
+                lv = dds.col_data[last_var]
+                contrast = (last_var, lv.levels[-1], lv.levels[0])
+    if name is None:
+        name = res_names[-1]
+
+    use_t = "tDegreesFreedom" in dds.row_data
+
+    if contrast is not None:
+        contrast = check_contrast(contrast, res_names)
+        res = clean_contrast(dds, contrast, expanded=is_expanded,
+                             list_values=list_values, test=test, use_t=use_t,
+                             minmu=minmu)
+    else:
+        res = _pull_columns(dds, name, test)
+
+    # alternative hypotheses / lfcThreshold (R/results.R:464-518)
+    if not (lfc_threshold == 0 and alt_hypothesis == "greaterAbs"):
+        if test == "LRT":
+            raise ValueError("tests of log fold change above or below a "
+                             "threshold must be Wald tests.")
+        if alt_hypothesis == "lessAbs" and dds.attrs.get("betaPrior"):
+            raise ValueError("testing altHypothesis='lessAbs' requires "
+                             "setting the DESeq() argument betaPrior=FALSE")
+        LFC = res.log2_fold_change
+        SE = res.lfc_se
+        T = lfc_threshold
+        if use_t:
+            df = dds.row_data["tDegreesFreedom"]
+
+            def pfunc(q):
+                return t_dist.sf(q, df)
+        else:
+            def pfunc(q):
+                return norm.sf(q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if alt_hypothesis == "greaterAbs":
+                # two-tailed sum version (2023, Nikos Ignatiadis)
+                if use_t:
+                    new_p = (t_dist.sf((np.abs(LFC) - T) / SE, df)
+                             + t_dist.sf((np.abs(LFC) + T) / SE, df))
+                else:
+                    new_p = (norm.cdf(-np.abs(LFC) + T, scale=SE)
+                             + norm.cdf(-np.abs(LFC) - T, scale=SE))
+                new_stat = LFC / SE
+            elif alt_hypothesis == "greaterAbs2014":
+                new_stat = np.sign(LFC) * np.maximum((np.abs(LFC) - T) / SE, 0)
+                new_p = np.minimum(1.0, 2.0 * pfunc((np.abs(LFC) - T) / SE))
+            elif alt_hypothesis == "lessAbs":
+                stat_above = np.maximum((T - LFC) / SE, 0)
+                p_above = pfunc((T - LFC) / SE)
+                stat_below = np.maximum((LFC + T) / SE, 0)
+                p_below = pfunc((LFC + T) / SE)
+                new_stat = np.minimum(stat_above, stat_below)
+                new_p = np.maximum(p_above, p_below)
+            elif alt_hypothesis == "greater":
+                new_stat = np.maximum((LFC - T) / SE, 0)
+                new_p = pfunc((LFC - T) / SE)
+            else:  # less
+                new_stat = np.minimum((LFC + T) / SE, 0)
+                new_p = pfunc((-T - LFC) / SE)
+        res.stat = new_stat
+        res.pvalue = new_p
+
+    # Cook's cutoff masking (R/results.R:520-565)
+    disp_mm = dds.attrs["dispModelMatrix"]
+    m, p = disp_mm.shape
+    default_cutoff = f_dist.ppf(0.99, p, m - p) if m > p else np.inf
+    if cooks_cutoff is None or cooks_cutoff is True:
+        cooks_cutoff = default_cutoff
+    perform_cutoff = not (cooks_cutoff is False)
+    if perform_cutoff:
+        with np.errstate(invalid="ignore"):
+            cooks_outlier = dds.row_data.get("maxCooks") > cooks_cutoff
+        cooks_outlier = np.where(np.isnan(dds.row_data.get("maxCooks")),
+                                 False, cooks_outlier).astype(bool)
+        # two-group heuristic: don't filter if >=3 counts exceed the outlier
+        if np.any(cooks_outlier) and not isinstance(dds.design, np.ndarray):
+            dvars = dds.design.variables
+            if len(dvars) == 1 and isinstance(dds.col_data.get(dvars[0]),
+                                              Factor) \
+                    and dds.col_data[dvars[0]].nlevels == 2:
+                cooks = dds.assays["cooks"]
+                idxs = np.where(cooks_outlier)[0]
+                for ii in idxs:
+                    out_count = dds.counts[ii, np.nanargmax(cooks[ii])]
+                    if np.sum(dds.counts[ii] > out_count) >= 3:
+                        cooks_outlier[ii] = False
+        res.pvalue = np.where(cooks_outlier, np.nan, res.pvalue)
+
+    # replaced-to-zero rows (R/results.R:567-575)
+    replace = dds.row_data.get("replace")
+    if replace is not None and np.nansum(replace) > 0:
+        now_zero = np.where(replace & (dds.row_data["baseMean"] == 0))[0]
+        res.log2_fold_change[now_zero] = 0
+        res.lfc_se[now_zero] = 0
+        res.stat[now_zero] = 0
+        res.pvalue[now_zero] = 1
+
+    if not dds.attrs.get("betaPrior"):
+        res.prior_info = dict(type="none", package="deseq2_tpu")
+    else:
+        res.prior_info = dict(type="normal", package="deseq2_tpu",
+                              betaPriorVar=dds.attrs.get("betaPriorVar"))
+
+    res = pvalue_adjustment(res, independent_filtering, filter, theta, alpha,
+                            p_adjust_method)
+    res.metadata["lfcThreshold"] = lfc_threshold
+    res.row_names = list(dds.row_names)
+    return res
+
+
+def _pull_columns(dds, name, test):
+    lfc = dds.row_data[name].astype(float)
+    lfc_se = dds.row_data["SE_" + name].astype(float)
+    if test == "Wald":
+        stat = dds.row_data["WaldStatistic_" + name].astype(float)
+        pval = dds.row_data["WaldPvalue_" + name].astype(float)
+    else:
+        stat = dds.row_data["LRTStatistic"].astype(float)
+        pval = dds.row_data["LRTPvalue"].astype(float)
+    return DESeqResults(base_mean=dds.row_data["baseMean"].copy(),
+                        log2_fold_change=lfc.copy(), lfc_se=lfc_se.copy(),
+                        stat=stat.copy(), pvalue=pval.copy(),
+                        descriptions={"log2FoldChange":
+                                      dds.row_meta[name][1]})
+
+
+# ---------------------------------------------------------------------------
+# p-value adjustment with independent filtering
+# ---------------------------------------------------------------------------
+
+def filtered_p(filter_stat, test_p, theta, method="BH"):
+    """BH per filter cutoff (vendored genefilter impl,
+    reference R/results.R:721-740)."""
+    cutoffs = r_quantile_type7(filter_stat, theta)
+    result = np.full((len(filter_stat), len(theta)), np.nan)
+    for i, cut in enumerate(np.atleast_1d(cutoffs)):
+        use = filter_stat >= cut
+        if np.any(use):
+            result[use, i] = p_adjust_bh(test_p[use])
+    return result
+
+
+def pvalue_adjustment(res, independent_filtering, filter, theta, alpha,
+                      p_adjust_method="BH"):
+    """(reference pvalueAdjustment, R/results.R:638-718)"""
+    if p_adjust_method != "BH":
+        raise NotImplementedError("only BH adjustment is implemented")
+    if independent_filtering:
+        if filter is None:
+            filter = res.base_mean
+        if theta is None:
+            lower_quantile = np.mean(filter == 0)
+            upper_quantile = 0.95 if lower_quantile < 0.95 else 1.0
+            theta = np.linspace(lower_quantile, upper_quantile, 50)
+        theta = np.atleast_1d(np.asarray(theta, dtype=np.float64))
+        if len(theta) <= 1:
+            raise ValueError("theta grid must have length > 1")
+        filt_padj = filtered_p(filter, res.pvalue, theta, p_adjust_method)
+        with np.errstate(invalid="ignore"):
+            num_rej = np.nansum(filt_padj < alpha, axis=0)
+        lx, lo_fit_y = r_lowess(theta, num_rej.astype(float), f=1.0 / 5)
+        if num_rej.max() <= 10:
+            j = 0
+        else:
+            if np.all(num_rej == 0):
+                residual = np.zeros(1)
+            else:
+                residual = num_rej[num_rej > 0] - lo_fit_y[num_rej > 0]
+            max_fit = lo_fit_y.max()
+            rmse = np.sqrt(np.mean(residual ** 2))
+            thresh = max_fit - rmse
+            if np.any(num_rej > thresh):
+                j = int(np.where(num_rej > thresh)[0][0])
+            elif np.any(num_rej > 0.9 * max_fit):
+                j = int(np.where(num_rej > 0.9 * max_fit)[0][0])
+            elif np.any(num_rej > 0.8 * max_fit):
+                j = int(np.where(num_rej > 0.8 * max_fit)[0][0])
+            else:
+                j = 0
+        padj = filt_padj[:, j]
+        cutoffs = r_quantile_type7(filter, theta)
+        res.metadata["filterThreshold"] = np.atleast_1d(cutoffs)[j]
+        res.metadata["filterTheta"] = theta[j]
+        res.metadata["filterNumRej"] = dict(theta=theta, numRej=num_rej)
+        res.metadata["lo.fit"] = dict(x=lx, y=lo_fit_y)
+        res.metadata["alpha"] = alpha
+    else:
+        padj = p_adjust_bh(res.pvalue)
+    res.padj = padj
+    return res
+
+
+# ---------------------------------------------------------------------------
+# contrasts
+# ---------------------------------------------------------------------------
+
+def check_contrast(contrast, res_names):
+    """(reference checkContrast, R/results.R:1146-1201)"""
+    if isinstance(contrast, (list,)) and len(contrast) in (1, 2) \
+            and all(isinstance(c, (list, tuple)) for c in contrast):
+        if len(contrast) == 1:
+            contrast = [list(contrast[0]), []]
+        num, den = contrast
+        if not all(isinstance(s, str) for s in list(num) + list(den)):
+            raise ValueError("list contrast should contain character vectors")
+        if not all(s in res_names for s in list(num) + list(den)):
+            raise ValueError("all elements of the contrast as a list should "
+                             "be elements of results_names()")
+        if set(num) & set(den):
+            raise ValueError("elements in the contrast list should only "
+                             "appear in numerator or denominator, not both")
+        if len(list(num) + list(den)) == 0:
+            raise ValueError("one of the two elements in the list should be "
+                             "a character vector of non-zero length")
+        return [list(num), list(den)]
+    if isinstance(contrast, (tuple, list)) and len(contrast) == 3 \
+            and all(isinstance(s, str) for s in contrast):
+        if contrast[1] == contrast[2]:
+            raise ValueError(f"{contrast[1]} and {contrast[2]} should be "
+                             "different level names")
+        return tuple(contrast)
+    contrast = np.asarray(contrast, dtype=np.float64)
+    if contrast.ndim != 1 or len(contrast) != len(res_names):
+        raise ValueError("numeric contrast vector should have one element "
+                         "for every element of results_names()")
+    if np.all(contrast == 0):
+        raise ValueError("numeric contrast vector cannot have all elements "
+                         "equal to 0")
+    return contrast
+
+
+def get_contrast(dds, contrast, use_t=False, minmu=0.5):
+    """Wald stats for an arbitrary numeric contrast by re-entering the IRLS
+    kernel with maxit=0 (reference getContrast, R/results.R:760-827)."""
+    model_matrix = dds.attrs["modelMatrix"]
+    nz = ~dds.row_data["allZero"]
+    obj_nz = dds.subset_genes(nz)
+    nf = obj_nz.size_or_norm_factors()
+    alpha_hat = obj_nz.row_data["dispersion"]
+    coef_columns = dds.results_names()
+    beta_mat = LN2 * np.column_stack(
+        [obj_nz.row_data[c] for c in coef_columns])
+    lam_nat = 1.0 / (LN2 ** 2 * np.asarray(dds.attrs["betaPriorVar"]))
+    counts_matrix = (dds.assays["replaceCounts"][nz].astype(np.int64)
+                     if "replaceCounts" in dds.assays else obj_nz.counts)
+    if "weights" in dds.assays:
+        weights = dds.assays["weights"]
+        weights = weights / weights.max(axis=1, keepdims=True)
+        weights = weights[nz]
+        use_weights = True
+    else:
+        weights = None
+        use_weights = False
+    out = irls.fit_beta(
+        jnp.asarray(counts_matrix), jnp.asarray(model_matrix),
+        jnp.asarray(nf), jnp.asarray(alpha_hat), jnp.asarray(beta_mat),
+        jnp.asarray(lam_nat),
+        weights=None if weights is None else jnp.asarray(weights),
+        use_weights=use_weights, contrast=jnp.asarray(contrast),
+        tol=1e-8, maxit=0, min_mu=minmu)
+    est = LOG2E * np.asarray(out["contrast_num"])
+    se = LOG2E * np.asarray(out["contrast_denom"])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stat = est / se
+    if use_t:
+        df = obj_nz.row_data["tDegreesFreedom"]
+        pval = 2.0 * t_dist.sf(np.abs(stat), df)
+    else:
+        pval = 2.0 * norm.sf(np.abs(stat))
+    G = dds.n_genes
+    full = {}
+    for nmk, v in (("log2FoldChange", est), ("lfcSE", se), ("stat", stat),
+                   ("pvalue", pval)):
+        arr = np.full(G, np.nan)
+        arr[nz] = v
+        full[nmk] = arr
+    return full
+
+
+def clean_contrast(dds, contrast, expanded=False, list_values=(1, -1),
+                   test="Wald", use_t=False, minmu=0.5):
+    """(reference cleanContrast, R/results.R:832-1040)"""
+    res_names = dds.results_names()
+    res_ready = False
+    contrast_all_zero = None
+    contrast_name = None
+
+    if isinstance(contrast, tuple):  # character contrast (factor, num, den)
+        factor_name, num_level, den_level = contrast
+        if factor_name not in dds.col_data or not isinstance(
+                dds.col_data[factor_name], Factor):
+            raise ValueError(f"{factor_name} should be the name of a factor "
+                             "in the colData of the dataset")
+        fac = dds.col_data[factor_name]
+        base_level = fac.levels[0]
+        has_intercept = dds.design_has_intercept()
+        first_var = not isinstance(dds.design, np.ndarray) \
+            and dds.design.variables \
+            and factor_name == dds.design.variables[0]
+        no_intercept_pull_coef = (not has_intercept) and (not first_var) and \
+            (base_level in (num_level, den_level))
+
+        if not expanded and (has_intercept or no_intercept_pull_coef):
+            num_col = make_names([f"{factor_name}_{num_level}_vs_"
+                                  f"{base_level}"])[0]
+            den_col = make_names([f"{factor_name}_{den_level}_vs_"
+                                  f"{base_level}"])[0]
+            if den_level == base_level:
+                clean_name = f"{factor_name} {num_level} vs {den_level}"
+                nm = num_col if not no_intercept_pull_coef else \
+                    make_names([f"{factor_name}{num_level}"])[0]
+                if nm not in res_names:
+                    raise ValueError(
+                        f"as {den_level} is the reference level, was "
+                        f"expecting {nm} to be present in results_names()")
+                res = _pull_columns(dds, nm, test)
+                lfc_type = "MAP" if dds.attrs.get("betaPrior") else "MLE"
+                res.descriptions["log2FoldChange"] = \
+                    f"log2 fold change ({lfc_type}): {clean_name}"
+                res_ready = True
+            elif num_level == base_level:
+                clean_name = f"{factor_name} {num_level} vs {den_level}"
+                swap = make_names([f"{factor_name}_{den_level}_vs_"
+                                   f"{num_level}"])[0] \
+                    if not no_intercept_pull_coef else \
+                    make_names([f"{factor_name}{den_level}"])[0]
+                if swap not in res_names:
+                    raise ValueError(
+                        f"as {num_level} is the reference level, was "
+                        f"expecting {swap} to be present in results_names()")
+                res = _pull_columns(dds, swap, test)
+                res.log2_fold_change = -1.0 * res.log2_fold_change
+                if test == "Wald":
+                    res.stat = -1.0 * res.stat
+                lfc_type = "MAP" if dds.attrs.get("betaPrior") else "MLE"
+                res.descriptions["log2FoldChange"] = \
+                    f"log2 fold change ({lfc_type}): {clean_name}"
+                res_ready = True
+            else:
+                if not (num_col in res_names and den_col in res_names):
+                    raise ValueError(
+                        f"{num_level} and {den_level} should be levels of "
+                        f"{factor_name} such that {num_col} and {den_col} "
+                        "are contained in results_names()")
+        else:
+            num_col = make_names([f"{factor_name}{num_level}"])[0]
+            den_col = make_names([f"{factor_name}{den_level}"])[0]
+            if not (num_col in res_names and den_col in res_names):
+                raise ValueError(f"{num_col} and {den_col} are expected to "
+                                 "be in results_names()")
+        # all-zero across samples in either level (R/results.R:1237-1243)
+        sel = np.isin(fac.codes,
+                      [fac.levels.index(num_level),
+                       fac.levels.index(den_level)])
+        cts_sub = dds.counts[:, sel]
+        contrast_all_zero = (cts_sub == 0).all(axis=1)
+        contrast_name = f"{factor_name} {num_level} vs {den_level}"
+
+    if not res_ready:
+        if isinstance(contrast, np.ndarray):
+            signs = ["" if c <= 0 else "+" for c in np.sign(contrast)]
+            contrast_name = ",".join(
+                s + _fmt_num(c) for s, c in zip(signs, contrast))
+            contrast_numeric = contrast
+        elif isinstance(contrast, list):  # list contrast
+            num, den = contrast
+            contrast_numeric = np.zeros(len(res_names))
+            contrast_numeric[[res_names.index(n) for n in num]] = \
+                list_values[0]
+            contrast_numeric[[res_names.index(n) for n in den]] = \
+                list_values[1]
+            v1 = "" if list_values[0] == 1 else f"{round(list_values[0],3)} "
+            v2abs = abs(round(list_values[1], 3))
+            v2 = "" if v2abs == 1 else f"{v2abs} "
+            if num and den:
+                contrast_name = (f"{v1}{'+'.join(num)} vs {v2}"
+                                 f"{'+'.join(den)}")
+            elif num:
+                contrast_name = f"{v1}{'+'.join(num)} effect"
+            else:
+                contrast_name = f"{round(list_values[1],3)} " \
+                                f"{'+'.join(den)} effect"
+        else:  # character triple needing a numeric contrast
+            factor_name, num_level, den_level = contrast
+            contrast_numeric = np.zeros(len(res_names))
+            contrast_numeric[res_names.index(num_col)] = 1.0
+            contrast_numeric[res_names.index(den_col)] = -1.0
+
+        if contrast_all_zero is None:
+            contrast_all_zero = _contrast_all_zero_numeric(dds,
+                                                           contrast_numeric)
+        cols = get_contrast(dds, contrast_numeric, use_t=use_t, minmu=minmu)
+        lfc_type = "MAP" if dds.attrs.get("betaPrior") else "MLE"
+        res = DESeqResults(
+            base_mean=dds.row_data["baseMean"].copy(),
+            log2_fold_change=cols["log2FoldChange"],
+            lfc_se=cols["lfcSE"], stat=cols["stat"], pvalue=cols["pvalue"],
+            descriptions={"log2FoldChange":
+                          f"log2 fold change ({lfc_type}): {contrast_name}"})
+
+    # zero out contrasts of all-zero groups (R/results.R:1021-1028)
+    if contrast_all_zero is not None:
+        contrast_all_zero = contrast_all_zero & ~dds.row_data["allZero"]
+        if contrast_all_zero.sum() > 0:
+            res.log2_fold_change[contrast_all_zero] = 0
+            res.stat[contrast_all_zero] = 0
+            res.pvalue[contrast_all_zero] = 1
+
+    # LRT: overwrite stat/p with the stored LRT columns (R/results.R:1030-1037)
+    if test == "LRT":
+        res.stat = dds.row_data["LRTStatistic"].astype(float).copy()
+        res.pvalue = dds.row_data["LRTPvalue"].astype(float).copy()
+    return res
+
+
+def _fmt_num(c):
+    if c == int(c):
+        return str(int(c))
+    return str(c)
+
+
+def _contrast_all_zero_numeric(dds, contrast):
+    """(reference contrastAllZeroNumeric, R/results.R:1245-1270)"""
+    model_matrix = dds.attrs["modelMatrix"]
+    if np.all(contrast >= 0) or np.all(contrast <= 0):
+        return np.zeros(dds.n_genes, dtype=bool)
+    contrast_binary = (contrast != 0).astype(float)
+    which_samples = (model_matrix @ contrast_binary != 0).astype(float)
+    zero_test = dds.counts @ which_samples
+    return zero_test == 0
+
+
+def make_wald_test(dds):
+    """Add Wald stats to an LRT-fitted object
+    (reference makeWaldTest, R/results.R:1101-1118)."""
+    dds = dds.copy()
+    coef_cols = dds.results_names()
+    for n in coef_cols:
+        beta = dds.row_data[n].astype(float)
+        se = dds.row_data["SE_" + n].astype(float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stat = beta / se
+        pval = 2.0 * norm.sf(np.abs(stat))
+        ns = n.replace("_", " ")
+        dds.set_row_data(f"WaldStatistic_{n}", stat, "results",
+                         f"Wald statistic: {ns}")
+        dds.set_row_data(f"WaldPvalue_{n}", pval, "results",
+                         f"Wald test p-value: {ns}")
+    return dds
