@@ -1,0 +1,85 @@
+"""Headline benchmark: genes/sec for the full DESeq Wald pipeline.
+
+Runs the fused on-device pipeline (size-factor-normalized counts ->
+gene-wise dispersion MLE -> parametric trend -> MAP shrinkage -> ridge
+IRLS -> Wald statistics; deseq2_tpu/parallel/fused.py) on the default
+bulk configuration from BASELINE.json: 60k genes x 128 samples,
+~condition design.
+
+Baseline: the reference (thelovelab/DESeq2) publishes no formal
+throughput benchmark; its vignette claims "less than 30 seconds for most
+analyses" on typical bulk datasets (~10-60k genes) on one CPU core
+(vignettes/DESeq2.Rmd:723-725).  We take the generous reading — 60,000
+genes / 30 s = 2,000 genes/s single-core — as the reference number
+(BASELINE.md; R is not present in this image so it cannot be re-measured
+here).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("DESEQ2_TPU_X64", "0")  # f32 fast path on TPU
+
+import numpy as np  # noqa: E402
+
+G = int(os.environ.get("BENCH_GENES", 60000))
+S = int(os.environ.get("BENCH_SAMPLES", 128))
+BASELINE_GENES_PER_SEC = 2000.0  # reference claim, see module docstring
+
+
+def make_inputs(G, S, seed=0):
+    rng = np.random.default_rng(seed)
+    S2 = S // 2
+    x = np.column_stack([np.ones(S), np.repeat([0.0, 1.0], [S2, S - S2])])
+    intercept = rng.normal(4.0, 2.0, G)
+    mu0 = 2.0 ** intercept
+    disp = 4.0 / mu0 + 0.1
+    mu = mu0[:, None] * np.ones((1, S))
+    size = 1.0 / disp[:, None]
+    counts = rng.negative_binomial(size, size / (size + mu)).astype(np.int32)
+    sf = np.ones(S)
+    grid = np.linspace(np.log(1e-8), np.log(max(10.0, S)), 20)
+    return counts, x, sf, grid
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deseq2_tpu.parallel.fused import fused_wald_pipeline
+
+    counts, x, sf, grid = make_inputs(G, S)
+    dev_args = (jnp.asarray(counts), jnp.asarray(x, jnp.float32),
+                jnp.asarray(sf, jnp.float32), jnp.asarray(grid, jnp.float32))
+
+    def run_sync():
+        # synchronize by fetching a small result array: on the axon
+        # tunnel platform block_until_ready returns before execution
+        # completes, so a host fetch is the only reliable barrier
+        out = fused_wald_pipeline(*dev_args)
+        return np.asarray(out["stat"])
+
+    run_sync()  # warmup (compile)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        stat = run_sync()
+    dt = (time.perf_counter() - t0) / reps
+    assert np.isfinite(stat).mean() > 0.95
+
+    genes_per_sec = G / dt
+    print(json.dumps({
+        "metric": f"deseq_wald_genes_per_sec_{G}x{S}",
+        "value": round(genes_per_sec, 1),
+        "unit": "genes/s/chip",
+        "vs_baseline": round(genes_per_sec / BASELINE_GENES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

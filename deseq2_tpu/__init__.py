@@ -12,14 +12,24 @@ tolerances demands it); a float32 fast path is available through
 DESeqConfig(dtype='float32').
 """
 
+import os as _os
+
 import jax as _jax
 
-_jax.config.update("jax_enable_x64", True)
+# f64 gives reference parity at 1e-6 tolerances (CPU / testing); set
+# DESEQ2_TPU_X64=0 for the f32 fast path on TPU hardware (v5e has no
+# native f64 — emulation would dominate runtime).
+if _os.environ.get("DESEQ2_TPU_X64", "1") != "0":
+    _jax.config.update("jax_enable_x64", True)
 
 from .config import DESeqConfig  # noqa: E402
 from .dataset import (DESeqDataSet, dataset_from_htseq_count,  # noqa: E402
-                      dataset_from_matrix)
+                      dataset_from_matrix, dataset_from_tximport)
 from .deseq import deseq  # noqa: E402
+from .helper import collapse_replicates, fpkm, fpm, unmix  # noqa: E402
+from .shrink import lfc_shrink  # noqa: E402
+from .transforms import (DESeqTransform, norm_transform,  # noqa: E402
+                         rlog, variance_stabilizing_transformation, vst)
 from .dispersions import (estimate_dispersions,  # noqa: E402
                           estimate_dispersions_fit,
                           estimate_dispersions_gene_est,
@@ -39,13 +49,16 @@ from .wald import (estimate_beta_prior_var,  # noqa: E402
 __version__ = "0.1.0"
 
 __all__ = [
-    "DESeqConfig", "DESeqDataSet", "DESeqResults", "Factor", "Formula",
-    "dataset_from_htseq_count", "dataset_from_matrix", "deseq",
-    "estimate_beta_prior_var", "estimate_dispersions",
-    "estimate_dispersions_fit", "estimate_dispersions_gene_est",
-    "estimate_dispersions_map", "estimate_dispersions_prior_var",
-    "estimate_mle_for_beta_prior_var", "estimate_size_factors",
+    "DESeqConfig", "DESeqDataSet", "DESeqResults", "DESeqTransform",
+    "Factor", "Formula", "collapse_replicates",
+    "dataset_from_htseq_count", "dataset_from_matrix",
+    "dataset_from_tximport", "deseq", "estimate_beta_prior_var",
+    "estimate_dispersions", "estimate_dispersions_fit",
+    "estimate_dispersions_gene_est", "estimate_dispersions_map",
+    "estimate_dispersions_prior_var", "estimate_mle_for_beta_prior_var",
+    "estimate_size_factors", "fpkm", "fpm", "lfc_shrink",
     "make_example_dataset", "nbinom_lrt", "nbinom_wald_test",
-    "parse_formula", "remove_results", "results", "results_names",
-    "size_factors_for_matrix",
+    "norm_transform", "parse_formula", "remove_results", "results",
+    "results_names", "rlog", "size_factors_for_matrix", "unmix",
+    "variance_stabilizing_transformation", "vst",
 ]

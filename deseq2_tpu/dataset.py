@@ -312,3 +312,33 @@ def dataset_from_htseq_count(sample_files, col_data, design, directory=".",
         tables.append(vals)
     counts = np.array(tables, dtype=np.int64).T
     return DESeqDataSet(counts, col_data, design, row_names=gene_names, **kw)
+
+
+def dataset_from_tximport(txi, col_data, design, **kw):
+    """Build a dataset from tximport-style quantifications
+    (reference DESeqDataSetFromTximport, R/AllClasses.R:409-426).
+
+    txi: dict with 'counts' (genes x samples, float estimated counts),
+    optional 'length' (average transcript lengths, same shape) and
+    'countsFromAbundance' flag.  Counts are rounded to integers; the
+    length matrix is stored as the 'avgTxLength' assay, which
+    estimate_size_factors turns into gene x sample normalization factors
+    (R/methods.R:383-391).
+    """
+    counts = np.round(np.asarray(txi["counts"], dtype=np.float64))
+    counts = counts.astype(np.int64)
+    if np.any(counts < 0):
+        raise ValueError("negative counts in tximport input")
+    dds = DESeqDataSet(counts, col_data, design, **kw)
+    if txi.get("countsFromAbundance", "no") in ("scaledTPM",
+                                                "lengthScaledTPM"):
+        # lengths must not be used again when counts were already scaled
+        pass
+    elif "length" in txi and txi["length"] is not None:
+        lengths = np.asarray(txi["length"], dtype=np.float64)
+        if lengths.shape != counts.shape:
+            raise ValueError("txi['length'] must match counts shape")
+        if np.any(lengths <= 0):
+            raise ValueError("all(lengths > 0) is not TRUE")
+        dds.assays["avgTxLength"] = lengths
+    return dds

@@ -18,7 +18,7 @@ from .wald import nbinom_wald_test
 def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
           beta_prior=False, full=None, reduced=None, quiet=True,
           min_replicates_for_replace=7, model_matrix_type=None,
-          use_t=False, minmu=0.5):
+          use_t=False, minmu=None):
     """size factors -> dispersions -> Wald or LRT -> outlier refit.
 
     Mirrors the reference's argument checking and stage sequencing
@@ -30,8 +30,14 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
         raise ValueError("unknown fitType")
     if sf_type not in ("ratio", "poscounts", "iterate"):
         raise ValueError("unknown sfType")
+    if minmu is None:
+        # reference default: minmu = 1e-6 for glmGamPoi else 0.5
+        minmu = 1e-6 if fit_type == "glmGamPoi" else 0.5
     if fit_type == "glmGamPoi":
         min_replicates_for_replace = np.inf
+        if test == "Wald" and not quiet:
+            warnings.warn("the glmGamPoi dispersion estimator should be "
+                          "used in combination with test='LRT'")
 
     model_as_formula = (full is None or not isinstance(full, np.ndarray)) \
         and not isinstance(dds.design, np.ndarray)
@@ -92,7 +98,9 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
                                use_t=use_t, min_mu=minmu)
     else:
         dds = nbinom_lrt(dds, full=full if full is not None else dds.design,
-                         reduced=reduced, quiet=quiet, min_mu=minmu)
+                         reduced=reduced, quiet=quiet, min_mu=minmu,
+                         type=("glmGamPoi" if fit_type == "glmGamPoi"
+                               else "DESeq2"))
 
     if np.isfinite(min_replicates_for_replace):
         sufficient = np.any(n_or_more_in_cell(dds.attrs["modelMatrix"],

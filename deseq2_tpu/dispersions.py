@@ -395,6 +395,14 @@ def estimate_dispersions_fit(dds, fit_type="parametric", min_disp=1e-8,
         disp_fn = DispersionFunction(lambda m: np.full(np.shape(m), mean_disp)
                                      if np.ndim(m) else mean_disp,
                                      "mean", mean=mean_disp)
+    elif fit_type == "glmGamPoi":
+        # local median trend with nearest-base-mean prediction
+        # (reference R/core.R:906-925)
+        from .gampoi import loc_median_fit, make_closest_index_disp_fn
+        bm_fit = base_means[use_for_fit]
+        medians = loc_median_fit(bm_fit, gene_ests[use_for_fit])
+        fn = make_closest_index_disp_fn(bm_fit, medians)
+        disp_fn = DispersionFunction(fn, "glmGamPoi")
     elif fit_type not in ("parametric", "local", "mean"):
         raise ValueError("unknown fitType")
 
@@ -516,7 +524,7 @@ def _loess_quadratic(x, y, span=0.2):
 def estimate_dispersions_map(dds, outlier_sd=2.0, disp_prior_var=None,
                              min_disp=1e-8, kappa_0=1.0, disp_tol=1e-6,
                              maxit=100, use_cr=True, weight_threshold=1e-2,
-                             model_matrix=None, quiet=True):
+                             model_matrix=None, quiet=True, type="DESeq2"):
     """MAP dispersion shrinkage toward the trend
     (reference estimateDispersionsMAP, R/core.R:943-1131)."""
     dds = dds.copy()
@@ -555,6 +563,52 @@ def estimate_dispersions_map(dds, outlier_sd=2.0, disp_prior_var=None,
     mu = dds.assays["mu"][nz]
     gene_est = obj_nz.row_data["dispGeneEst"]
     disp_fit = obj_nz.row_data["dispFit"]
+
+    if type == "glmGamPoi":
+        # quasi-likelihood shrinkage instead of the log-normal-prior MAP
+        # (reference R/core.R:1064-1096)
+        if use_weights:
+            raise ValueError("type='glmGamPoi' cannot handle weights")
+        from .gampoi import overdispersion_shrinkage, ql_to_nb_alpha
+        gene_means = obj_nz.row_data["baseMean"]
+        df = dds.n_samples - model_matrix.shape[1]
+        shrink = overdispersion_shrinkage(gene_est, gene_means, df, disp_fit)
+        max_disp = max(10.0, dds.n_samples)
+        disp_fit_corrected = ql_to_nb_alpha(
+            shrink["ql_disp_trend"], gene_means, disp_fit, min_disp,
+            max_disp)
+        for name, vals, desc in (
+                ("qlDispMLE", shrink["ql_disp_estimate"],
+                 "quasi likelihood dispersion MLE"),
+                ("qlDispFit", shrink["ql_disp_trend"],
+                 "quasi likelihood dispersion Trend"),
+                ("qlDispMAP", shrink["ql_disp_shrunken"],
+                 "quasi likelihood dispersion MAP"),
+                ("dispFitQLCorrected", disp_fit_corrected,
+                 "dispersion trend corrected by quasi likelihood")):
+            dds.set_row_data(name, _na_pad(vals, nz), "intermediate", desc)
+        dds.attrs["quasiLikelihood_df0"] = shrink["ql_df0"]
+        disp_map = ql_to_nb_alpha(shrink["ql_disp_shrunken"], gene_means,
+                                  disp_fit, min_disp, max_disp)
+        disp_iter = np.zeros(obj_nz.n_genes, dtype=np.int64)
+        dispersion_final = disp_map.copy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            disp_outlier = (np.log(gene_est) > np.log(disp_fit)
+                            + outlier_sd * np.sqrt(var_log_disp_ests))
+        disp_outlier = np.where(np.isnan(disp_outlier), False,
+                                disp_outlier).astype(bool)
+        dispersion_final[disp_outlier] = gene_est[disp_outlier]
+        dds.set_row_data("dispersion", _na_pad(dispersion_final, nz),
+                         "intermediate", "final estimate of dispersion")
+        dds.set_row_data("dispIter", _na_pad(disp_iter.astype(float), nz),
+                         "intermediate", "number of iterations")
+        disp_outlier_full = np.zeros(dds.n_genes, dtype=bool)
+        disp_outlier_full[nz] = disp_outlier
+        dds.set_row_data("dispOutlier", disp_outlier_full, "intermediate",
+                         "dispersion flagged as outlier")
+        dds.set_row_data("dispMAP", _na_pad(disp_map, nz), "intermediate",
+                         "maximum a posteriori estimate")
+        return dds
 
     # init at gene estimate unless an order of magnitude below the trend
     disp_init = np.where(gene_est > 0.1 * disp_fit, gene_est, disp_fit)
@@ -644,5 +698,7 @@ def estimate_dispersions(dds, fit_type="parametric", min_disp=1e-8,
     dds = estimate_dispersions_fit(dds, fit_type=fit_type, min_disp=min_disp,
                                    quiet=quiet)
     dds = estimate_dispersions_map(dds, min_disp=min_disp, quiet=quiet,
-                                   model_matrix=model_matrix)
+                                   model_matrix=model_matrix,
+                                   type=("glmGamPoi" if fit_type ==
+                                         "glmGamPoi" else "DESeq2"))
     return dds

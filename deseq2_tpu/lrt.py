@@ -26,9 +26,11 @@ def check_lrt(full, reduced):
 
 
 def nbinom_lrt(dds, full=None, reduced=None, beta_tol=1e-8, maxit=100,
-               use_optim=True, quiet=True, use_qr=True, min_mu=0.5):
+               use_optim=True, quiet=True, use_qr=True, min_mu=0.5,
+               type="DESeq2"):
     """Full-vs-reduced likelihood ratio chi-squared test
-    (reference nbinomLRT, R/core.R:1787-2012)."""
+    (reference nbinomLRT, R/core.R:1787-2012); type='glmGamPoi' runs the
+    quasi-likelihood F-test instead (R/core.R:1898-1947)."""
     dds = dds.copy()
     if dds.dispersions is None:
         raise ValueError("testing requires dispersion estimates, first call "
@@ -64,6 +66,12 @@ def nbinom_lrt(dds, full=None, reduced=None, beta_tol=1e-8, maxit=100,
 
     nz = ~dds.row_data["allZero"]
     obj_nz = dds.subset_genes(nz)
+
+    if type == "glmGamPoi":
+        return _nbinom_lrt_gampoi(dds, obj_nz, nz, full, reduced, full_mm,
+                                  reduced_mm, df, model_as_formula,
+                                  rename_cols, beta_tol, maxit, use_qr,
+                                  quiet)
 
     if model_as_formula:
         full_model = fit_nbinom_glms(obj_nz, model_formula=full,
@@ -142,5 +150,89 @@ def nbinom_lrt(dds, full=None, reduced=None, beta_tol=1e-8, maxit=100,
     dds.set_row_data("deviance", _na_pad(deviance, nz), "results",
                      "deviance of the full model")
     dds.set_row_data("maxCooks", _na_pad(max_cooks, nz), "results",
+                     "maximum Cook's distance for row")
+    return dds
+
+
+def _nbinom_lrt_gampoi(dds, obj_nz, nz, full, reduced, full_mm, reduced_mm,
+                       df, model_as_formula, rename_cols, beta_tol, maxit,
+                       use_qr, quiet):
+    """Quasi-likelihood F-test path (reference R/core.R:1898-1947):
+    betas fit with the *trend* dispersions held fixed, test statistic
+    F = (deviance drop / df) / qlDispMAP with denominator df
+    ql_df0 + residual df."""
+    from .gampoi import ql_f_test
+
+    for needed in ("qlDispMAP", "dispFit"):
+        if needed not in dds.row_data:
+            raise ValueError(
+                "nbinomLRT of type 'glmGamPoi' requires first calling "
+                "estimate_dispersions(dds, fit_type='glmGamPoi')")
+    if "quasiLikelihood_df0" not in dds.attrs:
+        raise ValueError("missing quasiLikelihood_df0; run "
+                         "estimate_dispersions(fit_type='glmGamPoi')")
+
+    disp_trend = obj_nz.row_data["dispFit"]
+    kwargs = dict(rename_cols=False, beta_tol=beta_tol, maxit=maxit,
+                  use_optim=False, use_qr=use_qr, warn_nonpos_var=False,
+                  min_mu=1e-6, alpha_hat=disp_trend)
+    if model_as_formula:
+        full_model = fit_nbinom_glms(obj_nz, model_formula=full,
+                                     **{**kwargs,
+                                        "rename_cols": rename_cols})
+        reduced_model = fit_nbinom_glms(obj_nz, model_formula=reduced,
+                                        **kwargs)
+        model_matrix = full_model["model_matrix"]
+    else:
+        full_model = fit_nbinom_glms(obj_nz, model_matrix=full_mm, **kwargs)
+        reduced_model = fit_nbinom_glms(obj_nz, model_matrix=reduced_mm,
+                                        **kwargs)
+        model_matrix = full_mm
+
+    ql_df0 = dds.attrs["quasiLikelihood_df0"]
+    df_resid = dds.n_samples - model_matrix.shape[1]
+    f_stat, pval = ql_f_test(full_model["log_like"],
+                             reduced_model["log_like"], df,
+                             obj_nz.row_data["qlDispMAP"], ql_df0, df_resid)
+    deviance = -2.0 * full_model["log_like"]
+
+    dds.attrs["betaPrior"] = False
+    dds.attrs["betaPriorVar"] = np.full(model_matrix.shape[1], 1e6)
+    dds.attrs["modelMatrix"] = model_matrix
+    dds.attrs["modelMatrixNames"] = full_model["model_matrix_names"]
+    dds.attrs["reducedModelMatrix"] = reduced_mm
+    dds.attrs["dispModelMatrix"] = model_matrix
+    dds.attrs["test"] = "LRT"
+    dds.assays["mu"] = _na_pad_matrix(full_model["mu"], nz)
+
+    if model_as_formula:
+        comparison = f"'{full}' vs '{parse_formula(reduced)}'"
+    else:
+        comparison = "full vs reduced"
+    names = full_model["model_matrix_names"]
+    names_spaces = [n.replace("_", " ") for n in names]
+    beta_matrix = full_model["beta_matrix"]
+    G = dds.n_genes
+    na = np.full(obj_nz.n_genes, np.nan)
+    for j, (n, ns) in enumerate(zip(names, names_spaces)):
+        dds.set_row_data(n, _na_pad(beta_matrix[:, j], nz), "results",
+                         f"log2 fold change (MLE): {ns}")
+        dds.set_row_data(f"SE_{n}", _na_pad(na, nz), "results",
+                         f"standard error: {ns}")
+    dds.set_row_data("LRTStatistic", _na_pad(f_stat, nz), "results",
+                     f"LRT statistic: {comparison}")
+    dds.set_row_data("LRTPvalue", _na_pad(pval, nz), "results",
+                     f"LRT p-value: {comparison}")
+    dds.set_row_data("fullBetaConv",
+                     _na_pad(np.ones(obj_nz.n_genes), nz), "results",
+                     "convergence of betas for full model")
+    dds.set_row_data("reducedBetaConv",
+                     _na_pad(np.ones(obj_nz.n_genes), nz), "results",
+                     "convergence of betas for reduced model")
+    dds.set_row_data("betaIter", _na_pad(na, nz), "results",
+                     "iterations for betas for full model")
+    dds.set_row_data("deviance", _na_pad(deviance, nz), "results",
+                     "deviance of the full model")
+    dds.set_row_data("maxCooks", _na_pad(na, nz), "results",
                      "maximum Cook's distance for row")
     return dds

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.scipy.special import digamma, gammaln, polygamma
 
 from .linalg import spd_inverse, spd_logdet
+from .padding import bucket_size, pad_rows
 
 EPSILON_ARMIJO = 1.0e-4  # cpp:175
 
@@ -94,7 +95,7 @@ def log_posterior(log_alpha, y, mu, x, prior_mean, prior_var, use_prior,
         cr = 0.0
     ll_terms = (gammaln(y + inv_alpha) - gammaln(inv_alpha)
                 - y * jnp.log(mu + inv_alpha)
-                - inv_alpha * jnp.log1p(mu * alpha))
+                - inv_alpha * jnp.log(1.0 + mu * alpha))
     if use_weights and weights is not None:
         ll = jnp.sum(weights * ll_terms, axis=-1)
     else:
@@ -122,7 +123,7 @@ def dlog_posterior(log_alpha, y, mu, x, prior_mean, prior_var, use_prior,
         dcr = -0.5 * jnp.einsum("gpq,gqp->g", b_inv, db)
     else:
         dcr = 0.0
-    terms = (digamma(inv_alpha) + jnp.log1p(mu * alpha)
+    terms = (digamma(inv_alpha) + jnp.log(1.0 + mu * alpha)
              - mu * alpha / (1.0 + mu * alpha)
              - digamma(y + inv_alpha) + y / (mu + inv_alpha))
     if use_weights and weights is not None:
@@ -156,7 +157,7 @@ def d2log_posterior(log_alpha, y, mu, x, prior_mean, prior_var, use_prior,
         cr2 = 0.5 * tr_bidb ** 2 - 0.5 * (tr_bidb ** 2 - tr_sq + tr_bid2b)
     else:
         cr2 = 0.0
-    terms1 = (digamma(inv_alpha) + jnp.log1p(mu * alpha)
+    terms1 = (digamma(inv_alpha) + jnp.log(1.0 + mu * alpha)
               - mu * alpha / (1.0 + mu * alpha)
               - digamma(y + inv_alpha) + y / (mu + inv_alpha))
     inv_a2 = 1.0 / alpha ** 2
@@ -178,8 +179,36 @@ def d2log_posterior(log_alpha, y, mu, x, prior_mean, prior_var, use_prior,
     return (ll_part + cr2) * alpha_v ** 2 + dlp_noprior + prior
 
 
-@partial(jax.jit, static_argnames=("maxit", "use_prior", "use_weights", "use_cr"))
 def fit_disp_line_search(y, x, mu, log_alpha_init, prior_mean, prior_var,
+                         min_log_alpha, kappa_0=1.0, tol=1e-6, maxit=100,
+                         use_prior=False, weights=None, use_weights=False,
+                         weight_threshold=1e-2, use_cr=True):
+    """Batched fitDisp with genes-axis bucketing (see ops/padding.py)."""
+    import numpy as np
+    G = np.asarray(y).shape[0]
+    gp = bucket_size(G)
+    if gp != G:
+        y = pad_rows(np.asarray(y), gp, 1.0)
+        mu = pad_rows(np.asarray(mu), gp, 1.0)
+        log_alpha_init = pad_rows(np.asarray(log_alpha_init), gp, 0.0)
+        prior_mean = pad_rows(np.asarray(prior_mean), gp, 0.0)
+        if weights is not None:
+            weights = pad_rows(np.asarray(weights), gp, 1.0)
+    out = _fit_disp_line_search_core(
+        jnp.asarray(y), jnp.asarray(x), jnp.asarray(mu),
+        jnp.asarray(log_alpha_init), jnp.asarray(prior_mean), prior_var,
+        min_log_alpha, kappa_0=kappa_0, tol=tol, maxit=maxit,
+        use_prior=use_prior,
+        weights=None if weights is None else jnp.asarray(weights),
+        use_weights=use_weights, weight_threshold=weight_threshold,
+        use_cr=use_cr)
+    if gp != G:
+        out = {k: v[:G] for k, v in out.items()}
+    return out
+
+
+@partial(jax.jit, static_argnames=("maxit", "use_prior", "use_weights", "use_cr"))
+def _fit_disp_line_search_core(y, x, mu, log_alpha_init, prior_mean, prior_var,
                          min_log_alpha, kappa_0=1.0, tol=1e-6, maxit=100,
                          use_prior=False, weights=None, use_weights=False,
                          weight_threshold=1e-2, use_cr=True):
@@ -206,6 +235,12 @@ def fit_disp_line_search(y, x, mu, log_alpha_init, prior_mean, prior_var,
     lp0 = lp_fn(a0)
     dlp0 = dlp_fn(a0)
 
+    # dtype-aware tolerance: lp is O(1e2-1e5), so in f32 an absolute
+    # change below |lp|*eps is pure rounding noise — the reference's
+    # 1e-6 absolute tol would never be met and every gene would grind
+    # through kappa-halving to maxit.  No-op in f64 for practical |lp|.
+    tol_eff = jnp.maximum(tol, jnp.abs(lp0) * 50.0 * jnp.finfo(dtype).eps)
+
     def cond(state):
         t = state[0]
         done = state[8]
@@ -229,12 +264,21 @@ def fit_disp_line_search(y, x, mu, log_alpha_init, prior_mean, prior_var,
         change_new = lp_new - lp
         # stop conditions (cpp:236-244): small change -> converged (lp
         # updated); log alpha under min -> stop (lp NOT updated)
-        conv = change_new < tol
+        conv = change_new < tol_eff
         under = a_new < min_log_alpha
         a = jnp.where(upd, a_new, a)
         change = jnp.where(upd, change_new, change)
         lp = jnp.where(upd & (conv | ~under), lp_new, lp)
-        newly_done = upd & (conv | under)
+        # f32 only: a rejected step whose best-case improvement is below
+        # the rounding noise floor can never be accepted (the Armijo test
+        # cancels to zero), so the gene is converged at its current point.
+        # Disabled in f64 where the serial reference semantics (halve
+        # kappa until accept) terminate fine on their own.
+        if jnp.finfo(dtype).eps > 1e-10:
+            stalled = live & ~accept & (kappa * dlp ** 2 < tol_eff)
+        else:
+            stalled = jnp.zeros_like(live)
+        newly_done = (upd & (conv | under)) | stalled
         cont_accept = upd & ~conv & ~under
         dlp_next = dlp_fn(a)
         dlp = jnp.where(cont_accept, dlp_next, dlp)
@@ -258,8 +302,33 @@ def fit_disp_line_search(y, x, mu, log_alpha_init, prior_mean, prior_var,
                 last_lp=lp, last_dlp=dlp, last_d2lp=d2)
 
 
-@partial(jax.jit, static_argnames=("grid_n", "use_prior", "use_weights", "use_cr"))
 def fit_disp_grid(y, x, mu, disp_grid, prior_mean, prior_var,
+                  use_prior=False, weights=None, use_weights=False,
+                  weight_threshold=1e-2, use_cr=True, grid_n=20):
+    """Batched fitDispGrid with genes-axis bucketing (see ops/padding.py)."""
+    import numpy as np
+    G = np.asarray(y).shape[0]
+    gp = bucket_size(G)
+    if gp != G:
+        y = pad_rows(np.asarray(y), gp, 1.0)
+        mu = pad_rows(np.asarray(mu), gp, 1.0)
+        prior_mean = pad_rows(np.asarray(prior_mean), gp, 0.0)
+        if weights is not None:
+            weights = pad_rows(np.asarray(weights), gp, 1.0)
+    out = _fit_disp_grid_core(
+        jnp.asarray(y), jnp.asarray(x), jnp.asarray(mu),
+        jnp.asarray(disp_grid), jnp.asarray(prior_mean), prior_var,
+        use_prior=use_prior,
+        weights=None if weights is None else jnp.asarray(weights),
+        use_weights=use_weights, weight_threshold=weight_threshold,
+        use_cr=use_cr, grid_n=grid_n)
+    if gp != G:
+        out = out[:G]
+    return out
+
+
+@partial(jax.jit, static_argnames=("grid_n", "use_prior", "use_weights", "use_cr"))
+def _fit_disp_grid_core(y, x, mu, disp_grid, prior_mean, prior_var,
                   use_prior=False, weights=None, use_weights=False,
                   weight_threshold=1e-2, use_cr=True, grid_n=20):
     """Two-stage grid search over log alpha (cpp:468-513).

@@ -1,0 +1,263 @@
+"""Fused on-device DESeq Wald pipeline: one jitted program over the mesh.
+
+This is the production hot path for the default bulk configuration
+(group-like design, no weights, parametric trend): gene-wise dispersion
+MLE -> parametric trend -> MAP shrinkage -> ridge IRLS -> Wald statistics,
+entirely on device, genes axis sharded across the mesh.  The cross-gene
+reductions (trend fit sums, MAD, prior variance) are sharded jnp
+reductions -> XLA all-reduces over ICI; everything else is embarrassingly
+gene-parallel (SURVEY.md sections 2.7, 7).
+
+The host-orchestrated deseq() remains the reference-exact path (it adds
+the optim/grid fallback ladders, Cook's filtering heuristics, and the
+statistical long tail); this fused program implements the same default
+math (same kernels, same clamps, same convergence rules) for speed-of-
+light throughput and for multi-chip dry runs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erfc, polygamma
+
+from ..ops.disp import (fit_disp_grid, fit_disp_line_search,
+                        _fit_disp_grid_core, _fit_disp_line_search_core)
+from ..ops.irls import _fit_beta_core
+from ..ops.linalg import chol_solve
+
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
+
+def _ls_fitted(y, x):
+    """Least-squares fitted values via SPD solve: y X (X'X)^-1 X'.
+
+    Equivalent to the reference's QR 'Huber rewrite' (R/core.R:2454-2463);
+    Cholesky of the p x p normal equations is the TPU-friendly form."""
+    xtx = x.T @ x
+    coef = chol_solve(xtx, (y @ x).T).T  # (G,p)
+    return coef @ x.T
+
+
+def _gamma_trend_fit(means, disps, use_mask):
+    """Parametric dispersion trend on device (reference
+    parametricDispersionFit, R/core.R:2166-2189): gamma GLM with identity
+    link disp ~ 1/mean, iterative outlier masking.  All sums over the
+    sharded genes axis become all-reduces."""
+    ones = jnp.ones_like(means)
+    inv_means = jnp.where(use_mask, 1.0 / means, 0.0)
+    X0 = ones
+    X1 = inv_means
+
+    def inner_glm(coefs, good):
+        """Gamma-identity IRLS, fixed 25 iterations with masked weights."""
+        def body(i, state):
+            a, b = state
+            mu = a + b * X1
+            mu = jnp.maximum(mu, 1e-30)
+            w = jnp.where(good, 1.0 / mu ** 2, 0.0)
+            s00 = jnp.sum(w * X0 * X0)
+            s01 = jnp.sum(w * X0 * X1)
+            s11 = jnp.sum(w * X1 * X1)
+            r0 = jnp.sum(w * X0 * disps)
+            r1 = jnp.sum(w * X1 * disps)
+            det = s00 * s11 - s01 * s01
+            a_new = (s11 * r0 - s01 * r1) / det
+            b_new = (s00 * r1 - s01 * r0) / det
+            return a_new, b_new
+
+        return jax.lax.fori_loop(0, 25, body, (coefs[0], coefs[1]))
+
+    def outer_body(state):
+        coefs, _, it, _ = state
+        mu = coefs[0] + coefs[1] * X1
+        resid = jnp.where(use_mask, disps / jnp.maximum(mu, 1e-30), 0.0)
+        good = use_mask & (resid > 1e-4) & (resid < 15.0)
+        a_new, b_new = inner_glm(coefs, good)
+        new = jnp.stack([a_new, b_new])
+        delta = jnp.sum(jnp.log(jnp.abs(new) / jnp.abs(coefs)) ** 2)
+        done = (delta < 1e-6) | (it >= 10)
+        ok = (a_new > 0) & (b_new > 0)
+        return new, coefs, it + 1, done | ~ok
+
+    def outer_cond(state):
+        return ~state[3]
+
+    init = (jnp.array([0.1, 1.0], dtype=means.dtype),
+            jnp.array([0.1, 1.0], dtype=means.dtype),
+            jnp.array(0, jnp.int32), jnp.array(False))
+    coefs, _, _, _ = jax.lax.while_loop(outer_cond, outer_body, init)
+    return coefs  # (asymptDisp, extraPois)
+
+
+def _masked_median(v, mask):
+    big = jnp.where(mask, v, jnp.nan)
+    return jnp.nanmedian(big)
+
+
+def _bh_adjust(p, valid):
+    """BH over valid entries (sharded sort -> all-gather, G scalars)."""
+    n = jnp.sum(valid)
+    pv = jnp.where(valid, p, jnp.inf)
+    order = jnp.argsort(pv)
+    ranked = pv[order]
+    G = p.shape[0]
+    i = jnp.arange(1, G + 1, dtype=p.dtype)
+    scaled = jnp.where(jnp.isfinite(ranked), ranked * n / i, jnp.inf)
+    rev_cummin = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.where(jnp.isfinite(scaled), scaled, jnp.inf))))
+    adj = jnp.minimum(rev_cummin, 1.0)
+    out = jnp.zeros(G, dtype=p.dtype).at[order].set(adj)
+    return jnp.where(valid, out, jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("maxit", "min_disp_pow"))
+def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
+                        min_disp_pow=-8):
+    """counts: (G,S) int; x: (S,p); size_factors: (S,); grid: (20,) log
+    alpha grid.  Returns per-gene results dict (log2 scale LFC/SE/stat/p,
+    plus dispersions and diagnostics)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    G, S = counts.shape
+    p = x.shape[1]
+    min_disp = 10.0 ** min_disp_pow
+    max_disp = jnp.maximum(10.0, S).astype(dtype)
+    min_mu = 0.5
+
+    y = counts.astype(dtype)
+    sf = size_factors.astype(dtype)
+    x = x.astype(dtype)
+    nf = jnp.broadcast_to(sf[None, :], (G, S))
+    norm_counts = y / sf[None, :]
+
+    base_mean = norm_counts.mean(axis=1)
+    base_var = norm_counts.var(axis=1, ddof=1)
+    all_zero = jnp.sum(y, axis=1) == 0
+
+    # ---- gene-wise dispersion init (R/core.R:709-728) --------------------
+    mu_ls = jnp.maximum(_ls_fitted(norm_counts, x), 1.0)
+    rough = jnp.maximum(jnp.sum(((norm_counts - mu_ls) ** 2 - mu_ls)
+                                / mu_ls ** 2, axis=1) / (S - p), 0.0)
+    xim = jnp.mean(1.0 / sf)
+    moments = (base_var - xim * base_mean) / base_mean ** 2
+    alpha_init = jnp.minimum(rough, jnp.where(all_zero, rough, moments))
+    alpha_init = jnp.clip(jnp.where(jnp.isnan(alpha_init), min_disp,
+                                    alpha_init), min_disp, max_disp)
+
+    # mu for dispersion fitting: LS projection * nf (linearMu fast path,
+    # exact for group-like designs; R/core.R:754-764)
+    mu_disp = jnp.maximum(_ls_fitted(norm_counts, x) * sf[None, :], min_mu)
+    y_safe = jnp.where(all_zero[:, None], 1.0, y)
+    mu_safe = jnp.where(all_zero[:, None], 1.0, mu_disp)
+
+    # ---- gene-wise MLE line search (R/core.R:770-848) ---------------------
+    la0 = jnp.log(alpha_init)
+    mle = _fit_disp_line_search_core(
+        y_safe, x, mu_safe, la0, la0, 1.0, jnp.log(min_disp / 10.0),
+        maxit=maxit, use_prior=False)
+    alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
+    no_increase = mle["last_lp"] < mle["initial_lp"] + \
+        jnp.abs(mle["initial_lp"]) / 1e6
+    disp_gene_est = jnp.where(no_increase, alpha_init, alpha_mle)
+    conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
+    refit = ~conv & (disp_gene_est > min_disp * 10)
+
+    def run_grid(_):
+        la = _fit_disp_grid_core(y_safe, x, mu_safe, grid.astype(dtype),
+                                 jnp.zeros(G, dtype), 1.0, use_prior=False)
+        return jnp.exp(la)
+
+    grid_est = jax.lax.cond(jnp.any(refit), run_grid,
+                            lambda _: disp_gene_est, operand=None)
+    disp_gene_est = jnp.where(refit, grid_est, disp_gene_est)
+    disp_gene_est = jnp.clip(disp_gene_est, min_disp, max_disp)
+
+    # ---- parametric trend (cross-gene reduction) --------------------------
+    use_for_fit = (disp_gene_est > 100 * min_disp) & ~all_zero
+    coefs = _gamma_trend_fit(base_mean, disp_gene_est, use_for_fit)
+    disp_fit = coefs[0] + coefs[1] / jnp.where(all_zero, 1.0, base_mean)
+
+    # varLogDispEsts: MAD^2 over non-zero genes (R/methods.R:172-184)
+    resid = jnp.log(disp_gene_est) - jnp.log(disp_fit)
+    med = _masked_median(resid, ~all_zero)
+    var_log_disp = (1.4826 * _masked_median(jnp.abs(resid - med),
+                                            ~all_zero)) ** 2
+    exp_var = polygamma(1, (S - p) / 2.0).astype(dtype)
+    disp_prior_var = jnp.maximum(var_log_disp - exp_var, 0.25)
+
+    # ---- MAP shrinkage (R/core.R:1016-1115) --------------------------------
+    disp_init = jnp.where(disp_gene_est > 0.1 * disp_fit, disp_gene_est,
+                          disp_fit)
+    map_res = _fit_disp_line_search_core(
+        y_safe, x, mu_safe, jnp.log(disp_init), jnp.log(disp_fit),
+        disp_prior_var, jnp.log(min_disp / 10.0), maxit=maxit,
+        use_prior=True)
+    disp_map = jnp.exp(map_res["log_alpha"])
+    refit_map = map_res["iter"] >= maxit
+
+    def run_grid_map(_):
+        la = _fit_disp_grid_core(y_safe, x, mu_safe, grid.astype(dtype),
+                                 jnp.log(disp_fit), disp_prior_var,
+                                 use_prior=True)
+        return jnp.exp(la)
+
+    grid_map = jax.lax.cond(jnp.any(refit_map), run_grid_map,
+                            lambda _: disp_map, operand=None)
+    disp_map = jnp.where(refit_map, grid_map, disp_map)
+    disp_map = jnp.clip(disp_map, min_disp, max_disp)
+    disp_outlier = jnp.log(disp_gene_est) > jnp.log(disp_fit) + \
+        2.0 * jnp.sqrt(var_log_disp)
+    dispersion = jnp.where(disp_outlier, disp_gene_est, disp_map)
+
+    # ---- NB GLM + Wald (R/core.R:1400-1508) --------------------------------
+    beta_init = chol_solve(x.T @ x, (jnp.log(norm_counts + 0.1) @ x).T).T
+    lam_nat = jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)
+    fit = _fit_beta_core(y_safe, x, nf, dispersion, beta_init, lam_nat,
+                         maxit=maxit, min_mu=min_mu)
+    beta_log2 = LOG2E * fit["beta"]
+    se_log2 = LOG2E * jnp.sqrt(jnp.maximum(fit["beta_var"], 0.0))
+    wald_stat = beta_log2 / se_log2
+    wald_p = erfc(jnp.abs(wald_stat) / jnp.sqrt(2.0).astype(dtype))
+
+    # BH on the last coefficient's p-values (default results contrast)
+    padj_last = _bh_adjust(wald_p[:, -1], ~all_zero)
+
+    nanmask = lambda v: jnp.where(all_zero, jnp.nan, v)
+    return dict(
+        baseMean=base_mean, baseVar=base_var, allZero=all_zero,
+        dispGeneEst=nanmask(disp_gene_est), dispFit=nanmask(disp_fit),
+        dispersion=nanmask(dispersion), dispMAP=nanmask(disp_map),
+        dispOutlier=disp_outlier & ~all_zero,
+        trendCoefs=coefs, dispPriorVar=disp_prior_var,
+        varLogDispEsts=var_log_disp,
+        beta=jnp.where(all_zero[:, None], jnp.nan, beta_log2),
+        betaSE=jnp.where(all_zero[:, None], jnp.nan, se_log2),
+        stat=jnp.where(all_zero[:, None], jnp.nan, wald_stat),
+        pvalue=jnp.where(all_zero[:, None], jnp.nan, wald_p),
+        betaIter=fit["iter"], betaConv=fit["iter"] < maxit,
+        mu=fit["mu"], hatDiag=fit["hat_diag"],
+        deviance=nanmask(fit["deviance"]), padjLast=padj_last)
+
+
+def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
+                      min_disp=1e-8):
+    """Run the fused pipeline with the genes axis sharded over `mesh`."""
+    import numpy as np
+    from .sharding import pad_to_multiple, replicated, shard_genes
+
+    n_dev = mesh.devices.size
+    counts_p, G = pad_to_multiple(np.asarray(counts), n_dev, 0)
+    gshard = shard_genes(mesh)
+    rep = replicated(mesh)
+    counts_d = jax.device_put(counts_p, gshard)
+    x_d = jax.device_put(np.asarray(x, dtype=np.float64), rep)
+    sf_d = jax.device_put(np.asarray(size_factors, dtype=np.float64), rep)
+    grid = np.linspace(np.log(min_disp),
+                       np.log(max(10.0, counts.shape[1])), 20)
+    grid_d = jax.device_put(grid, rep)
+    out = fused_wald_pipeline(counts_d, x_d, sf_d, grid_d, maxit=maxit)
+    return {k: np.asarray(v)[:G] if np.ndim(v) and np.shape(v)[0] ==
+            counts_p.shape[0] else np.asarray(v) for k, v in out.items()}

@@ -64,9 +64,10 @@ class DESeqResults:
     def to_dict(self):
         return {c: self[c] for c in self.column_names}
 
-    def summary(self, alpha=None):
-        """Census of up/down/outlier/low-count genes
-        (reference summary method, R/methods.R:766-824)."""
+    def summary(self, alpha=None, quiet=False):
+        """Census of up/down/outlier/low-count genes; prints like the
+        reference summary method (R/methods.R:766-824) and returns the
+        text (pass quiet=True to suppress printing)."""
         if alpha is None:
             alpha = self.metadata.get("alpha", 0.1)
         pv = self.padj if self.padj is not None else self.pvalue
@@ -95,7 +96,10 @@ class DESeqResults:
         ]
         if ft is not None:
             lines.append(f"(mean count < {float(ft):.2g})")
-        return "\n".join(lines)
+        text = "\n".join(lines)
+        if not quiet:
+            print(text)
+        return text
 
 
 def results_names(dds):

@@ -1,0 +1,465 @@
+"""LFC shrinkage: normal prior refit, apeglm-style adaptive-t posterior
+modes, ashr-style normal-mixture posterior means.
+
+Reference: lfcShrink (R/lfcShrink.R:145-520).  type='normal' reuses the
+reference's own machinery (estimateBetaPriorVar + nbinomWaldTest with
+betaPrior).  type='apeglm' / type='ashr' call external packages in the
+reference; here they are native TPU implementations of the same estimator
+families:
+
+- apeglm-style: heavy-tailed (Cauchy) prior on the coefficient of
+  interest, scale adapted from the MLEs (Zhu, Ibrahim & Love 2018);
+  posterior mode + SD by batched Newton iterations on device.
+- ashr-style: adaptive shrinkage with a zero-centered normal mixture prior
+  fitted by EM on (betahat, sebetahat) (Stephens 2016); posterior
+  mean/SD/lfsr are analytic mixture updates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.stats import norm
+
+import jax
+import jax.numpy as jnp
+
+from .ops.nb import nb_logpmf
+from .results import DESeqResults, results
+from .wald import estimate_beta_prior_var, nbinom_wald_test
+
+LOG2E = np.log2(np.e)
+LN2 = np.log(2.0)
+
+
+def lfc_shrink(dds, coef=None, contrast=None, res=None, type="apeglm",
+               lfc_threshold=0.0, svalue=False, return_fit=False,
+               quiet=True):
+    """(reference lfcShrink, R/lfcShrink.R:145-520)"""
+    if type not in ("apeglm", "ashr", "normal"):
+        raise ValueError("unknown shrinkage type")
+    if len(dds.results_names()) == 0:
+        raise ValueError("first run deseq() before lfc_shrink()")
+    if dds.attrs.get("betaPrior"):
+        raise ValueError("lfc_shrink() should be used downstream of deseq() "
+                         "with betaPrior=FALSE (the default)")
+    res_names = dds.results_names()
+    coef_num = None
+    coef_alpha = None
+    if coef is not None:
+        if isinstance(coef, (int, np.integer)):
+            # R is 1-based; accept both string and index. We use 0-based.
+            coef_num = int(coef)
+            coef_alpha = res_names[coef_num]
+        else:
+            coef_alpha = coef
+            coef_num = res_names.index(coef)
+    if res is None:
+        if coef is not None:
+            res = results(dds, name=coef_alpha)
+        elif contrast is not None:
+            res = results(dds, contrast=contrast)
+        else:
+            raise ValueError("one of coef or contrast required if 'res' is "
+                             "missing")
+    if np.all(np.isnan(res.lfc_se)):
+        raise ValueError("lfc_shrink requires standard errors")
+
+    if type == "normal":
+        return _shrink_normal(dds, coef, contrast, res, coef_alpha,
+                              lfc_threshold, quiet)
+    if type == "apeglm":
+        if contrast is not None:
+            raise ValueError("type='apeglm' shrinkage only for use with "
+                             "'coef'")
+        if coef is None:
+            raise ValueError("type='apeglm' requires 'coef'")
+        return _shrink_apeglm(dds, coef_num, coef_alpha, res, lfc_threshold,
+                              svalue, return_fit, quiet)
+    return _shrink_ashr(dds, res, lfc_threshold, svalue, return_fit, quiet)
+
+
+# ---------------------------------------------------------------------------
+# normal
+# ---------------------------------------------------------------------------
+
+def _shrink_normal(dds, coef, contrast, res, coef_alpha, lfc_threshold,
+                   quiet):
+    """(reference R/lfcShrink.R:221-327)"""
+    if coef is None and contrast is None:
+        raise ValueError("type='normal' requires either 'coef' or "
+                         "'contrast'")
+    if not isinstance(dds.design, np.ndarray):
+        if any(o > 1 for o in dds.design.term_orders):
+            raise ValueError("LFC shrinkage type='normal' not implemented "
+                             "for designs with interactions")
+    dds = dds.copy()
+    model_matrix_type = "standard" if contrast is None else "expanded"
+    dds.attrs["modelMatrixType"] = model_matrix_type
+    # rename the MLE coefficient columns (description "log2 fold change
+    # (MLE)") to MLE_* for estimate_beta_prior_var, as the reference does
+    # (R/lfcShrink.R:264-269)
+    beta_cols = [n for n, (t, d) in dds.row_meta.items()
+                 if "log2 fold change (MLE)" in d]
+    if not beta_cols:
+        raise ValueError("lfc_shrink type='normal' requires MLE "
+                         "coefficients from deseq(beta_prior=False)")
+    if not any(n.startswith("MLE_") for n in beta_cols):
+        for n in beta_cols:
+            dds.row_data[f"MLE_{n}"] = dds.row_data.pop(n)
+            dds.row_meta[f"MLE_{n}"] = dds.row_meta.pop(n)
+    nz = ~dds.row_data["allZero"]
+    obj_nz = dds.subset_genes(nz)
+    beta_prior_var, _ = estimate_beta_prior_var(obj_nz)
+    dds_shr = nbinom_wald_test(dds, beta_prior=True,
+                               beta_prior_var=beta_prior_var,
+                               model_matrix_type=model_matrix_type,
+                               quiet=True)
+    if contrast is None:
+        res_shr = results(dds_shr, name=coef_alpha,
+                          lfc_threshold=lfc_threshold)
+    else:
+        res_shr = results(dds_shr, contrast=contrast,
+                          lfc_threshold=lfc_threshold)
+    out = DESeqResults(base_mean=res.base_mean,
+                       log2_fold_change=res_shr.log2_fold_change,
+                       lfc_se=res_shr.lfc_se,
+                       stat=(res_shr.stat if lfc_threshold > 0 else res.stat),
+                       pvalue=(res_shr.pvalue if lfc_threshold > 0
+                               else res.pvalue),
+                       padj=(res_shr.padj if lfc_threshold > 0 else res.padj),
+                       row_names=res.row_names)
+    out.metadata["lfcThreshold"] = lfc_threshold
+    out.prior_info = dict(type="normal", package="deseq2_tpu",
+                          betaPriorVar=beta_prior_var)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# apeglm-style
+# ---------------------------------------------------------------------------
+
+def _apeglm_fit(y, x, nf_log, alpha, weights, coef_num, prior_scale,
+                no_shrink_scale=15.0, beta_init=None, n_iter=50):
+    """Batched posterior mode for a Cauchy prior on column `coef_num` and
+    wide normal priors on the rest, via damped Newton on device.
+
+    All betas on the natural-log scale.  Returns (map, sd) from the
+    observed information at the mode (Laplace approximation), matching
+    apeglm's 'nbinomCR' method family.
+    """
+    G, S = y.shape
+    p = x.shape[1]
+    dtype = jnp.float64
+    y = jnp.asarray(y, dtype)
+    x = jnp.asarray(x, dtype)
+    nf_log = jnp.asarray(nf_log, dtype)
+    alpha = jnp.asarray(alpha, dtype)
+    w_obs = jnp.ones((G, S), dtype) if weights is None else \
+        jnp.asarray(weights, dtype)
+    is_coef = jnp.arange(p) == coef_num
+    prior_scale = jnp.asarray(prior_scale, dtype)
+
+    def neg_post_grad_hess(beta):
+        eta = beta @ x.T + nf_log
+        mu = jnp.exp(eta)
+        size = 1.0 / alpha[:, None]
+        # NB log-lik derivative wrt eta: y - mu*(y+size)/(mu+size)
+        frac = (y + size) / (mu + size)
+        dl_deta = w_obs * (y - mu * frac)
+        grad_ll = jnp.einsum("gs,sp->gp", dl_deta, x)
+        # observed information wrt eta (expected form with NB2):
+        winfo = w_obs * mu * frac * (size / (mu + size))
+        # hessian of negative loglik: X' diag(winfo) X  (Fisher scoring form)
+        S_, p_ = x.shape
+        xx = (x[:, :, None] * x[:, None, :]).reshape(S_, p_ * p_)
+        hess_ll = (winfo @ xx).reshape(G, p_, p_)
+        # prior: Cauchy on coef (log prior = -log(1 + b^2/S^2)),
+        # normal(0, no_shrink_scale) on others
+        b = beta
+        cauchy_grad = -2.0 * b / (prior_scale ** 2 + b ** 2)
+        cauchy_hess = (2.0 * (b ** 2 - prior_scale ** 2)
+                       / (prior_scale ** 2 + b ** 2) ** 2)
+        norm_grad = -b / no_shrink_scale ** 2
+        norm_hess = jnp.full_like(b, -1.0 / no_shrink_scale ** 2)
+        pg = jnp.where(is_coef[None, :], cauchy_grad, norm_grad)
+        ph = jnp.where(is_coef[None, :], cauchy_hess, norm_hess)
+        grad = grad_ll + pg
+        hess = hess_ll - _batch_diag(ph)
+        return grad, hess
+
+    def log_post(beta):
+        eta = beta @ x.T + nf_log
+        mu = jnp.exp(eta)
+        ll = jnp.sum(w_obs * nb_logpmf(y, mu, alpha[:, None]), axis=-1)
+        b = beta
+        lp_c = -jnp.log1p(b ** 2 / prior_scale ** 2)
+        lp_n = -0.5 * b ** 2 / no_shrink_scale ** 2
+        lp = jnp.where(is_coef[None, :], lp_c, lp_n).sum(axis=-1)
+        return ll + lp
+
+    beta = jnp.zeros((G, p), dtype) if beta_init is None else \
+        jnp.asarray(beta_init, dtype)
+
+    def body(i, state):
+        beta, step = state
+        g, h = neg_post_grad_hess(beta)
+        h = h + jnp.eye(p, dtype=dtype)[None] * 1e-8
+        delta = jnp.linalg.solve(h, g[..., None])[..., 0] \
+            if False else _chol_solve_safe(h, g)
+        lp0 = log_post(beta)
+        # backtracking: halve until improvement (3 tries, vectorized)
+        def try_step(s):
+            cand = beta + s[:, None] * delta
+            return cand, log_post(cand)
+        cand1, lp1 = try_step(step)
+        ok1 = lp1 >= lp0
+        cand2, lp2 = try_step(step * 0.5)
+        ok2 = lp2 >= lp0
+        cand3, lp3 = try_step(step * 0.25)
+        ok3 = lp3 >= lp0
+        new_beta = jnp.where(ok1[:, None], cand1,
+                             jnp.where(ok2[:, None], cand2,
+                                       jnp.where(ok3[:, None], cand3, beta)))
+        new_step = jnp.where(ok1, jnp.minimum(step * 1.5, 1.0),
+                             jnp.where(ok2 | ok3, step * 0.5, step * 0.25))
+        return new_beta, new_step
+
+    beta, _ = jax.lax.fori_loop(0, n_iter, body,
+                                (beta, jnp.ones(G, dtype)))
+    _, hess = neg_post_grad_hess(beta)
+    cov = jnp.linalg.inv(hess + jnp.eye(p, dtype=dtype)[None] * 1e-10)
+    sd = jnp.sqrt(jnp.clip(jnp.diagonal(cov, axis1=-2, axis2=-1), 0.0,
+                           jnp.inf))
+    return np.asarray(beta), np.asarray(sd)
+
+
+def _batch_diag(v):
+    p = v.shape[-1]
+    return v[..., None] * jnp.eye(p, dtype=v.dtype)[None]
+
+
+def _chol_solve_safe(h, g):
+    from .ops.linalg import chol_solve
+    return chol_solve(h, g[..., None])[..., 0]
+
+
+def apeglm_svalue(lfsr):
+    """Cumulative mean of sorted local FSR (reference apeglm_svalue,
+    R/lfcShrink.R:523-528)."""
+    lfsr = np.asarray(lfsr, dtype=np.float64)
+    order = np.argsort(np.where(np.isnan(lfsr), np.inf, lfsr), kind="stable")
+    sorted_l = lfsr[order]
+    cum = np.nancumsum(sorted_l) / np.arange(1, len(lfsr) + 1)
+    out = np.empty_like(cum)
+    out[order] = cum
+    out[np.isnan(lfsr)] = np.nan
+    return out
+
+
+def _shrink_apeglm(dds, coef_num, coef_alpha, res, lfc_threshold, svalue,
+                   return_fit, quiet):
+    nz = ~dds.row_data["allZero"]
+    obj = dds
+    y = obj.counts
+    if isinstance(dds.design, np.ndarray):
+        x = dds.design
+    elif dds.attrs.get("modelMatrixType") == "user-supplied":
+        x = dds.attrs["modelMatrix"]
+    else:
+        x, _ = dds.renamed_model_matrix()
+    disps = obj.row_data["dispersion"].copy()
+    disps = np.where(np.isnan(disps), 1.0, disps)
+    nf = obj.size_or_norm_factors()
+    weights = obj.assays.get("weights")
+    # adaptive prior scale from the MLEs (natural-log scale): signal
+    # variance by moments, matching apeglm's adaptive prior
+    mle = LN2 * np.column_stack([res.log2_fold_change, res.lfc_se])
+    fin = np.isfinite(mle[:, 0]) & np.isfinite(mle[:, 1])
+    var_est = mle[fin, 0] ** 2 - mle[fin, 1] ** 2
+    pos = var_est > 0
+    if pos.sum() == 0:
+        prior_scale = 1.0
+    else:
+        # apeglm: scale such that the prior matches the upper signal
+        # quantile; use sqrt of mean positive excess variance
+        prior_scale = float(np.sqrt(np.mean(var_est[pos])))
+    prior_scale = min(prior_scale, 15.0)
+
+    beta_init = None
+    # initialize at the MLE fit (natural log scale) when available
+    coef_cols = dds.results_names()
+    if all(c in dds.row_data for c in coef_cols):
+        beta_init = LN2 * np.column_stack(
+            [np.nan_to_num(dds.row_data[c], nan=0.0) for c in coef_cols])
+
+    bmap, bsd = _apeglm_fit(y, x, np.log(nf), disps, weights, coef_num,
+                            prior_scale, beta_init=beta_init)
+    lfc = LOG2E * bmap[:, coef_num]
+    se = LOG2E * bsd[:, coef_num]
+    lfc[~nz] = np.nan
+    se[~nz] = np.nan
+
+    out = DESeqResults(base_mean=res.base_mean,
+                       log2_fold_change=lfc, lfc_se=se,
+                       stat=res.stat, pvalue=res.pvalue, padj=res.padj,
+                       row_names=res.row_names)
+    out.descriptions["log2FoldChange"] = \
+        f"log2 fold change (MAP): {coef_alpha.replace('_', ' ')}"
+    out.descriptions["lfcSE"] = \
+        f"posterior SD: {coef_alpha.replace('_', ' ')}"
+    # local false-sign rate via the Laplace approximation
+    if lfc_threshold > 0:
+        T = lfc_threshold
+        fsos = (norm.cdf((T - lfc) / se) - norm.cdf((-T - lfc) / se))
+        lfsr = np.clip(fsos, 0.0, 1.0)
+        out.svalue = apeglm_svalue(lfsr)
+        out.stat = out.pvalue = out.padj = None
+        svalue = True
+    elif svalue:
+        lfsr = norm.cdf(-np.abs(lfc) / se)
+        out.svalue = apeglm_svalue(lfsr)
+        out.stat = out.pvalue = out.padj = None
+    out.metadata["lfcThreshold"] = lfc_threshold
+    out.prior_info = dict(type="apeglm", package="deseq2_tpu",
+                          prior_scale=prior_scale,
+                          prior_control=dict(prior_scale=prior_scale,
+                                             prior_df=1,
+                                             prior_no_shrink_scale=15))
+    if return_fit:
+        return out, dict(map=bmap, sd=bsd, prior_scale=prior_scale)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ashr-style
+# ---------------------------------------------------------------------------
+
+def _ash_normal_mix(betahat, sebetahat, npoint=None, max_iter=2000,
+                    tol=1e-7):
+    """Fit pi over a zero-centered normal mixture by EM
+    (ashr method='shrink', mixcompdist='normal'; Stephens 2016)."""
+    ok = np.isfinite(betahat) & np.isfinite(sebetahat) & (sebetahat > 0)
+    b, s = betahat[ok], sebetahat[ok]
+    # autoselect.mixsd grid
+    smin = np.min(s) / 10.0
+    excess = b ** 2 - s ** 2
+    if np.any(excess > 0):
+        smax = 2.0 * np.sqrt(np.max(excess[excess > 0]))
+    else:
+        smax = 8.0 * smin
+    grid = [0.0]
+    v = smin
+    while v < smax:
+        grid.append(v)
+        v *= np.sqrt(2.0)
+    grid.append(v)
+    sigmas = np.asarray(grid)
+    K = len(sigmas)
+    # marginal likelihood of each observation under each component
+    tot_var = sigmas[None, :] ** 2 + s[:, None] ** 2
+    loglik = (-0.5 * np.log(2 * np.pi * tot_var)
+              - 0.5 * b[:, None] ** 2 / tot_var)
+    lmax = loglik.max(axis=1, keepdims=True)
+    lik = np.exp(loglik - lmax)
+    pi = np.full(K, 1.0 / K)
+    for _ in range(max_iter):
+        w = lik * pi[None, :]
+        w /= w.sum(axis=1, keepdims=True)
+        pi_new = w.mean(axis=0)
+        if np.max(np.abs(pi_new - pi)) < tol:
+            pi = pi_new
+            break
+        pi = pi_new
+    return sigmas, pi, ok
+
+
+def _ash_posterior(betahat, sebetahat, sigmas, pi):
+    """Posterior mean/SD and lfsr under the fitted mixture."""
+    b, s = betahat, sebetahat
+    tot_var = sigmas[None, :] ** 2 + s[:, None] ** 2
+    loglik = (-0.5 * np.log(2 * np.pi * tot_var)
+              - 0.5 * b[:, None] ** 2 / tot_var)
+    lmax = loglik.max(axis=1, keepdims=True)
+    resp = np.exp(loglik - lmax) * pi[None, :]
+    resp /= resp.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        post_var_k = 1.0 / (1.0 / np.maximum(sigmas[None, :] ** 2, 1e-300)
+                            + 1.0 / s[:, None] ** 2)
+        post_mean_k = post_var_k * b[:, None] / s[:, None] ** 2
+    # sigma=0 component: point mass at 0
+    zero_comp = sigmas == 0
+    post_var_k[:, zero_comp] = 0.0
+    post_mean_k[:, zero_comp] = 0.0
+    mean = np.sum(resp * post_mean_k, axis=1)
+    second = np.sum(resp * (post_var_k + post_mean_k ** 2), axis=1)
+    sd = np.sqrt(np.maximum(second - mean ** 2, 0.0))
+    # probability of positive / negative sign
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = post_mean_k / np.sqrt(post_var_k)
+    p_pos = np.where(post_var_k > 0, norm.sf(-z), 0.0)
+    p_neg = np.where(post_var_k > 0, norm.cdf(-z), 0.0)
+    prob_pos = np.sum(resp * p_pos, axis=1)
+    prob_neg = np.sum(resp * p_neg, axis=1)
+    lfsr = np.minimum(1.0, np.minimum(1 - prob_pos, 1 - prob_neg)
+                      + np.sum(resp[:, zero_comp], axis=1) * 0.0)
+    lfsr = np.minimum(prob_pos, prob_neg) + resp[:, zero_comp].sum(axis=1)
+    lfsr = np.minimum(lfsr, 1.0)
+    return mean, sd, lfsr
+
+
+def cdf_post_mixture(betahat, sebetahat, sigmas, pi, x):
+    """P(beta <= x | data) under the fitted mixture (ashr cdf_post)."""
+    b, s = betahat, sebetahat
+    tot_var = sigmas[None, :] ** 2 + s[:, None] ** 2
+    loglik = (-0.5 * np.log(2 * np.pi * tot_var)
+              - 0.5 * b[:, None] ** 2 / tot_var)
+    lmax = loglik.max(axis=1, keepdims=True)
+    resp = np.exp(loglik - lmax) * pi[None, :]
+    resp /= resp.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        post_var_k = 1.0 / (1.0 / np.maximum(sigmas[None, :] ** 2, 1e-300)
+                            + 1.0 / s[:, None] ** 2)
+        post_mean_k = post_var_k * b[:, None] / s[:, None] ** 2
+    zero_comp = sigmas == 0
+    cdf_k = np.where(post_var_k > 0,
+                     norm.cdf((x - post_mean_k)
+                              / np.sqrt(np.maximum(post_var_k, 1e-300))),
+                     (x >= 0).astype(float) if np.isscalar(x)
+                     else (x >= 0).astype(float))
+    cdf_k[:, zero_comp] = (x >= 0) * 1.0
+    return np.sum(resp * cdf_k, axis=1)
+
+
+def _shrink_ashr(dds, res, lfc_threshold, svalue, return_fit, quiet):
+    betahat = res.log2_fold_change
+    sebetahat = res.lfc_se
+    sigmas, pi, ok = _ash_normal_mix(betahat, sebetahat)
+    mean = np.full_like(betahat, np.nan)
+    sd = np.full_like(betahat, np.nan)
+    lfsr = np.full_like(betahat, np.nan)
+    mean[ok], sd[ok], lfsr[ok] = _ash_posterior(betahat[ok], sebetahat[ok],
+                                                sigmas, pi)
+    out = DESeqResults(base_mean=res.base_mean, log2_fold_change=mean,
+                       lfc_se=sd, stat=res.stat, pvalue=res.pvalue,
+                       padj=res.padj, row_names=res.row_names)
+    out.descriptions["log2FoldChange"] = "log2 fold change (MMSE)"
+    out.descriptions["lfcSE"] = "posterior SD"
+    if lfc_threshold > 0:
+        cdf_pos = np.full_like(betahat, np.nan)
+        cdf_neg = np.full_like(betahat, np.nan)
+        cdf_pos[ok] = cdf_post_mixture(betahat[ok], sebetahat[ok], sigmas,
+                                       pi, lfc_threshold)
+        cdf_neg[ok] = cdf_post_mixture(betahat[ok], sebetahat[ok], sigmas,
+                                       pi, -lfc_threshold)
+        lfsr_t = np.where(mean > 0, cdf_pos, 1.0 - cdf_neg)
+        out.svalue = apeglm_svalue(lfsr_t)
+        out.stat = out.pvalue = out.padj = None
+    elif svalue:
+        out.svalue = apeglm_svalue(lfsr)
+        out.stat = out.pvalue = out.padj = None
+    out.metadata["lfcThreshold"] = lfc_threshold
+    out.prior_info = dict(type="ashr", package="deseq2_tpu",
+                          fitted_g=dict(sd=sigmas, pi=pi))
+    if return_fit:
+        return out, dict(sigmas=sigmas, pi=pi, lfsr=lfsr)
+    return out

@@ -1,0 +1,269 @@
+"""Variance-stabilizing transforms: VST, rlog, normTransform.
+
+Reference: varianceStabilizingTransformation/getVarianceStabilizedData/vst
+(R/vst.R:112-267), rlog/rlogData (R/rlog.R:108-287), normTransform
+(R/helper.R:421-435).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+from .dispersions import (estimate_dispersions_fit,
+                          estimate_dispersions_gene_est,
+                          get_base_means_and_variances)
+from .glm import fit_nbinom_glms
+from .quantiles import (match_weighted_upper_quantile_for_variance,
+                        r_quantile_type7)
+from .sizefactors import estimate_size_factors
+
+
+class DESeqTransform:
+    """Transformed data container (reference DESeqTransform,
+    R/AllClasses.R:460-489)."""
+
+    def __init__(self, matrix, col_data, row_names, col_names, attrs=None):
+        self.matrix = matrix
+        self.col_data = col_data
+        self.row_names = row_names
+        self.col_names = col_names
+        self.attrs = attrs or {}
+
+    @property
+    def shape(self):
+        return self.matrix.shape
+
+
+def variance_stabilizing_transformation(dds, blind=True,
+                                        fit_type="parametric"):
+    """(reference varianceStabilizingTransformation, R/vst.R:112-142)"""
+    dds = dds.copy()
+    if dds.size_factors is None and dds.normalization_factors is None:
+        dds = estimate_size_factors(dds)
+    if blind:
+        dds.design = "~ 1"
+        from .formula import parse_formula
+        dds.design = parse_formula("~ 1")
+    if blind or dds.dispersion_function is None:
+        dds = estimate_dispersions_gene_est(dds, quiet=True)
+        dds = estimate_dispersions_fit(dds, fit_type=fit_type, quiet=True)
+    vsd = get_variance_stabilized_data(dds)
+    return DESeqTransform(vsd, dds.col_data, dds.row_names, dds.col_names)
+
+
+def get_variance_stabilized_data(dds):
+    """Closed-form / numeric-integral / asinh VST
+    (reference getVarianceStabilizedData, R/vst.R:146-193)."""
+    disp_fn = dds.dispersion_function
+    if disp_fn is None or disp_fn.fit_type is None:
+        raise ValueError("call estimate_dispersions before "
+                         "get_variance_stabilized_data")
+    ncounts = dds.counts_normalized()
+    if disp_fn.fit_type == "parametric":
+        asympt_disp, extra_pois = disp_fn.coefficients
+        q = ncounts
+        return np.log((1.0 + extra_pois + 2.0 * asympt_disp * q
+                       + 2.0 * np.sqrt(asympt_disp * q
+                                       * (1.0 + extra_pois
+                                          + asympt_disp * q)))
+                      / (4.0 * asympt_disp)) / np.log(2.0)
+    if disp_fn.fit_type == "local":
+        # numeric trapezoid integration of 1/sqrt(var(x)) on an asinh grid,
+        # cubic-spline interpolation, affine calibration to log2 at the
+        # .95/.999 quantiles (R/vst.R:157-183)
+        from scipy.interpolate import CubicSpline
+        if dds.size_factors is not None:
+            sf = dds.size_factors
+        else:
+            sf = np.exp(np.mean(np.log(dds.normalization_factors), axis=0))
+        xg = np.sinh(np.linspace(np.arcsinh(0), np.arcsinh(ncounts.max()),
+                                 1000))[1:]
+        xim = np.mean(1.0 / sf)
+        base_vars_at_grid = disp_fn(xg) * xg ** 2 + xim * xg
+        integrand = 1.0 / np.sqrt(base_vars_at_grid)
+        mid = np.arcsinh((xg[1:] + xg[:-1]) / 2)
+        csum = np.cumsum((xg[1:] - xg[:-1])
+                         * (integrand[1:] + integrand[:-1]) / 2)
+        splf = CubicSpline(mid, csum)
+        row_means = ncounts.mean(axis=1)
+        h1 = r_quantile_type7(row_means, 0.95)
+        h2 = r_quantile_type7(row_means, 0.999)
+        eta = (np.log2(h2) - np.log2(h1)) / \
+            (splf(np.arcsinh(h2)) - splf(np.arcsinh(h1)))
+        xi = np.log2(h1) - eta * splf(np.arcsinh(h1))
+        return eta * splf(np.arcsinh(ncounts)) + xi
+    if disp_fn.fit_type == "mean":
+        alpha = disp_fn.mean
+        q = ncounts
+        return (2.0 * np.arcsinh(np.sqrt(alpha * q)) - np.log(alpha)
+                - np.log(4.0)) / np.log(2.0)
+    raise ValueError("fitType is not parametric, local or mean")
+
+
+def vst(dds, blind=True, nsub=1000, fit_type="parametric"):
+    """Fast VST: estimate the trend on a 1000-gene subset spanning the mean
+    range (reference vst, R/vst.R:219-267)."""
+    if dds.n_genes < nsub:
+        raise ValueError("less than 'nsub' rows, use "
+                         "variance_stabilizing_transformation directly")
+    dds = dds.copy()
+    if blind:
+        from .formula import parse_formula
+        dds.design = parse_formula("~ 1")
+    if dds.size_factors is None and dds.normalization_factors is None:
+        dds = estimate_size_factors(dds)
+    base_mean = dds.counts_normalized().mean(axis=1)
+    if np.sum(base_mean > 5) < nsub:
+        raise ValueError("less than 'nsub' rows with mean normalized "
+                         "count > 5, use variance_stabilizing_transformation")
+    sub_idx = np.where(base_mean > 5)[0]
+    bm_sub = base_mean[sub_idx]
+    o = np.argsort(bm_sub, kind="stable")
+    # R: o[round(seq(from=1, to=length(o), length=nsub))]
+    pick = np.round(np.linspace(1, len(o), nsub)).astype(int) - 1
+    object_sub = dds.subset_genes(sub_idx[o[pick]])
+    object_sub = estimate_dispersions_gene_est(object_sub, quiet=True)
+    object_sub = estimate_dispersions_fit(object_sub, fit_type=fit_type,
+                                          quiet=True)
+    dds = get_base_means_and_variances(dds)
+    from .dispersions import set_dispersion_function
+    # the subset's trend is applied to the full object; varLogDispEsts is
+    # not recomputed over the full set (matches the reference assignment)
+    dds.dispersion_function = object_sub.dispersion_function
+    nzmask = ~dds.row_data["allZero"]
+    disp_fit = np.full(dds.n_genes, np.nan)
+    disp_fit[nzmask] = object_sub.dispersion_function(
+        dds.row_data["baseMean"][nzmask])
+    dds.set_row_data("dispFit", disp_fit, "intermediate",
+                     "fitted values of dispersion")
+    vsd = get_variance_stabilized_data(dds)
+    return DESeqTransform(vsd, dds.col_data, dds.row_names, dds.col_names)
+
+
+def norm_transform(dds, f=np.log2, pc=1):
+    """f(normalized counts + pc) (reference normTransform,
+    R/helper.R:421-435)."""
+    dds = dds.copy()
+    if dds.size_factors is None and dds.normalization_factors is None:
+        dds = estimate_size_factors(dds)
+    nt = f(dds.counts_normalized() + pc)
+    return DESeqTransform(nt, dds.col_data, dds.row_names, dds.col_names)
+
+
+# ---------------------------------------------------------------------------
+# rlog
+# ---------------------------------------------------------------------------
+
+def rlog(dds, blind=True, intercept=None, beta_prior_var=None,
+         fit_type="parametric"):
+    """Regularized log transform (reference rlog, R/rlog.R:108-164)."""
+    dds = dds.copy()
+    if dds.size_factors is None and dds.normalization_factors is None:
+        dds = estimate_size_factors(dds)
+    if blind:
+        from .formula import parse_formula
+        dds.design = parse_formula("~ 1")
+    if intercept is None:
+        _sparse_test(dds.counts_normalized(), 0.9, 100, 0.1)
+    if blind or "dispFit" not in dds.row_data:
+        if "baseMean" not in dds.row_data:
+            dds = get_base_means_and_variances(dds)
+        dds = estimate_dispersions_gene_est(dds, quiet=True)
+        dds = estimate_dispersions_fit(dds, fit_type=fit_type, quiet=True)
+    rld, bpv, fitted_intercept = rlog_data(dds, intercept, beta_prior_var)
+    t = DESeqTransform(rld, dds.col_data, dds.row_names, dds.col_names,
+                       attrs={"betaPriorVar": bpv})
+    if fitted_intercept is not None:
+        t.attrs["rlogIntercept"] = fitted_intercept
+    return t
+
+
+def rlog_data(dds, intercept=None, beta_prior_var=None):
+    """Shrunken per-sample log2 fits (reference rlogData,
+    R/rlog.R:172-272).
+
+    Design: intercept + one indicator per sample, ridge on all but the
+    intercept.  The reference fits an (S+1)-coefficient GLM; the batched
+    IRLS handles this directly for moderate S.
+    """
+    if "dispFit" not in dds.row_data:
+        raise ValueError("first estimate dispersion")
+    if "allZero" not in dds.row_data or "baseMean" not in dds.row_data:
+        dds = get_base_means_and_variances(dds)
+    S = dds.n_samples
+
+    if intercept is None:
+        # model matrix: intercept + indicator per sample (null_level trick
+        # gives S indicator columns, R/rlog.R:190-196)
+        model_matrix = np.column_stack([np.ones(S), np.eye(S)])
+        model_matrix_names = ["Intercept"] + \
+            [f"samples{j+1}" for j in range(S)]
+    else:
+        intercept = np.asarray(intercept, dtype=np.float64)
+        if len(intercept) != dds.n_genes:
+            raise ValueError("intercept should be as long as the number of "
+                             "rows of object")
+        model_matrix = np.eye(S)
+        model_matrix_names = [f"samples{j+1}" for j in range(S)]
+        nf = dds.size_or_norm_factors()
+        infinite_intercept = ~np.isfinite(intercept)
+        intercept = np.where(infinite_intercept, -10.0, intercept)
+        dds = dds.copy()
+        dds.normalization_factors = nf * 2.0 ** intercept[:, None]
+        dds.row_data["allZero"] = infinite_intercept
+
+    nz = ~dds.row_data["allZero"]
+    obj_nz = dds.subset_genes(nz)
+    if np.any(np.isnan(obj_nz.row_data["dispFit"])):
+        raise ValueError("NA dispFit")
+
+    if beta_prior_var is None:
+        log_counts = np.log2(obj_nz.counts_normalized() + 0.5)
+        lfc_matrix = log_counts - np.log2(
+            obj_nz.row_data["baseMean"] + 0.5)[:, None]
+        varlogk = 1.0 / obj_nz.row_data["baseMean"] + \
+            obj_nz.row_data["dispFit"]
+        weights = 1.0 / varlogk
+        beta_prior_var = match_weighted_upper_quantile_for_variance(
+            lfc_matrix.ravel(order="F"),
+            np.tile(weights, obj_nz.n_samples))
+    lam = np.full(model_matrix.shape[1], 1.0 / beta_prior_var)
+    if "Intercept" in model_matrix_names:
+        lam[model_matrix_names.index("Intercept")] = 1e-6
+
+    fit = fit_nbinom_glms(obj_nz, model_matrix=model_matrix,
+                          model_matrix_names=model_matrix_names,
+                          lam=lam, rename_cols=False,
+                          alpha_hat=obj_nz.row_data["dispFit"],
+                          beta_tol=1e-4, use_optim=False, use_qr=True)
+    normalized_data_nz = fit["beta_matrix"] @ model_matrix.T
+    normalized_data = np.zeros((dds.n_genes, S))
+    normalized_data[nz] = normalized_data_nz
+    fitted_intercept = None
+    if intercept is not None:
+        normalized_data = normalized_data + \
+            np.where(infinite_intercept, 0.0, intercept)[:, None]
+    elif "Intercept" in model_matrix_names:
+        j = model_matrix_names.index("Intercept")
+        fitted_intercept = np.full(dds.n_genes, -np.inf)
+        fitted_intercept[nz] = fit["beta_matrix"][:, j]
+    return normalized_data, beta_prior_var, fitted_intercept
+
+
+def _sparse_test(x, p, t1, t2):
+    """Warn when single samples dominate row sums (reference sparseTest,
+    R/rlog.R:274-287)."""
+    rs = x.sum(axis=1)
+    if np.all(rs <= t1):
+        return
+    rmx = x.max(axis=1)
+    prop = (rmx / rs)[rs > t1]
+    total = np.mean(prop > p)
+    if total > t2:
+        warnings.warn(
+            "the rlog assumes that data is close to a negative binomial "
+            f"distribution; for {round(total*100,1)}% of genes with sum of "
+            f"normalized counts above {t1}, a single sample's count made up "
+            f"more than {p*100}% of the row sum. Consider vst() instead.")

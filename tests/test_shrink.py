@@ -1,0 +1,110 @@
+"""LFC shrinkage tests (normal / apeglm-style / ashr-style).
+
+Modeled on the reference's test_lfcShrink.R: shrinkage estimators pull
+noisy low-information LFCs toward zero, leave well-estimated LFCs nearly
+unchanged, and the three types agree on sign for strong effects.
+"""
+
+import numpy as np
+import pytest
+
+from deseq2_tpu import deseq, make_example_dataset, results
+from deseq2_tpu.shrink import lfc_shrink
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    dds = make_example_dataset(n=300, m=12, beta_sd=1.0, seed=42)
+    dds = deseq(dds)
+    res = results(dds)
+    return dds, res
+
+
+@pytest.mark.parametrize("type", ["normal", "apeglm", "ashr"])
+def test_shrinks_toward_zero(fitted, type):
+    dds, res = fitted
+    shr = lfc_shrink(dds, coef="condition_B_vs_A", res=res, type=type)
+    ok = np.isfinite(res.log2_fold_change) & \
+        np.isfinite(shr.log2_fold_change)
+    assert ok.sum() > 200
+    # average magnitude decreases
+    assert np.abs(shr.log2_fold_change[ok]).mean() < \
+        np.abs(res.log2_fold_change[ok]).mean()
+    # the large majority of genes individually shrink
+    frac = np.mean(np.abs(shr.log2_fold_change[ok]) <=
+                   np.abs(res.log2_fold_change[ok]) + 1e-6)
+    assert frac > 0.85
+    # baseMean/pvalues carried over from the MLE results
+    np.testing.assert_allclose(shr.base_mean, res.base_mean)
+
+
+@pytest.mark.parametrize("type", ["apeglm", "ashr"])
+def test_strong_effects_survive(fitted, type):
+    dds, res = fitted
+    shr = lfc_shrink(dds, coef="condition_B_vs_A", res=res, type=type)
+    strong = np.isfinite(res.pvalue) & (res.pvalue < 1e-6) & \
+        (res.base_mean > 20)
+    if strong.sum() < 3:
+        pytest.skip("no strong effects in fixture")
+    # sign preserved and magnitude not collapsed for strong signals
+    assert np.all(np.sign(shr.log2_fold_change[strong]) ==
+                  np.sign(res.log2_fold_change[strong]))
+    assert np.all(np.abs(shr.log2_fold_change[strong]) >
+                  0.5 * np.abs(res.log2_fold_change[strong]))
+
+
+def test_apeglm_recovers_true_beta(fitted):
+    dds, res = fitted
+    shr = lfc_shrink(dds, coef="condition_B_vs_A", res=res, type="apeglm")
+    true_beta = dds.row_data["trueBeta"]
+    ok = np.isfinite(shr.log2_fold_change)
+    # shrunk estimator has smaller MSE against truth than the MLE
+    mse_shr = np.mean((shr.log2_fold_change[ok] - true_beta[ok]) ** 2)
+    mse_mle = np.mean((res.log2_fold_change[ok] - true_beta[ok]) ** 2)
+    assert mse_shr < mse_mle
+
+
+def test_svalues(fitted):
+    dds, res = fitted
+    shr = lfc_shrink(dds, coef="condition_B_vs_A", res=res, type="apeglm",
+                     svalue=True)
+    assert shr.svalue is not None
+    sv = shr.svalue[np.isfinite(shr.svalue)]
+    assert np.all((sv >= 0) & (sv <= 1))
+    # s-values are a cumulative mean of sorted lfsr -> monotone vs lfsr rank
+    assert shr.pvalue is None
+
+
+def test_lfc_threshold_fsos(fitted):
+    dds, res = fitted
+    shr = lfc_shrink(dds, coef="condition_B_vs_A", res=res, type="apeglm",
+                     lfc_threshold=1.0)
+    assert shr.svalue is not None
+    # genes with tiny shrunk LFC have high FSOS s-values
+    small = np.abs(shr.log2_fold_change) < 0.1
+    if small.sum() > 3:
+        assert np.nanmean(shr.svalue[small]) > 0.5
+
+
+def test_coef_forms(fitted):
+    dds, res = fitted
+    a = lfc_shrink(dds, coef="condition_B_vs_A", res=res, type="ashr")
+    b = lfc_shrink(dds, coef=1, res=res, type="ashr")
+    np.testing.assert_allclose(a.log2_fold_change, b.log2_fold_change,
+                               equal_nan=True)
+
+
+def test_apeglm_requires_coef(fitted):
+    dds, res = fitted
+    with pytest.raises(ValueError):
+        lfc_shrink(dds, contrast=("condition", "B", "A"), res=res,
+                   type="apeglm")
+
+
+def test_normal_via_contrast(fitted):
+    dds, res = fitted
+    shr = lfc_shrink(dds, contrast=("condition", "B", "A"), res=res,
+                     type="normal")
+    ok = np.isfinite(shr.log2_fold_change)
+    assert np.abs(shr.log2_fold_change[ok]).mean() < \
+        np.abs(res.log2_fold_change[ok]).mean()

@@ -1,0 +1,124 @@
+"""VST / rlog / normTransform tests.
+
+Modeled on the reference's test_vst.R / test_rlog.R: behavioral
+invariants (variance stabilization, shrinkage toward the trend, frozen
+re-application) rather than golden files.
+"""
+
+import numpy as np
+import pytest
+
+from deseq2_tpu import estimate_size_factors, make_example_dataset
+from deseq2_tpu.transforms import (DESeqTransform, norm_transform, rlog,
+                                   variance_stabilizing_transformation, vst)
+
+
+@pytest.fixture(scope="module")
+def dds():
+    return make_example_dataset(n=400, m=12, beta_sd=0.7, seed=11)
+
+
+def test_vst_closed_form(dds):
+    vsd = variance_stabilizing_transformation(dds, blind=True)
+    assert isinstance(vsd, DESeqTransform)
+    assert vsd.matrix.shape == dds.counts.shape
+    assert np.isfinite(vsd.matrix).all()
+    # monotone in counts within each sample
+    d = estimate_size_factors(dds)
+    nc = d.counts_normalized()
+    for j in range(3):
+        order = np.argsort(nc[:, j])
+        v = vsd.matrix[order, j]
+        assert np.all(np.diff(v) >= -1e-8)
+
+
+def test_vst_asymptotically_log2(dds):
+    """For large counts the parametric VST has slope 1 on the log2 scale
+    (R/vst.R closed form ~ log2(q) + const for q >> 1/asymptDisp)."""
+    vsd = variance_stabilizing_transformation(dds, blind=True)
+    d = estimate_size_factors(dds)
+    nc = d.counts_normalized().mean(axis=1)
+    big = nc > 200
+    assert big.sum() > 10
+    # regression slope of mean VST on log2 mean counts ~ 1 for large counts
+    x = np.log2(nc[big])
+    y = vsd.matrix[big].mean(axis=1)
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(slope - 1.0) < 0.1
+
+
+def test_vst_mean_fit_type(dds):
+    vsd = variance_stabilizing_transformation(dds, blind=True,
+                                              fit_type="mean")
+    assert np.isfinite(vsd.matrix).all()
+
+
+def test_vst_local_fit_type(dds):
+    vsd = variance_stabilizing_transformation(dds, blind=True,
+                                              fit_type="local")
+    assert np.isfinite(vsd.matrix).all()
+
+
+def test_vst_fast_subset():
+    dds = make_example_dataset(n=1200, m=10, intercept_mean=6.0,
+                               intercept_sd=1.0, seed=3)
+    vsd_fast = vst(dds, nsub=1000)
+    vsd_full = variance_stabilizing_transformation(dds, blind=True)
+    # the subset trend approximates the full trend
+    mask = np.isfinite(vsd_fast.matrix) & np.isfinite(vsd_full.matrix)
+    assert np.corrcoef(vsd_fast.matrix[mask].ravel(),
+                       vsd_full.matrix[mask].ravel())[0, 1] > 0.999
+
+
+def test_norm_transform(dds):
+    nt = norm_transform(dds)
+    d = estimate_size_factors(dds)
+    np.testing.assert_allclose(nt.matrix,
+                               np.log2(d.counts_normalized() + 1))
+
+
+def test_rlog_shrinks_low_counts():
+    dds = make_example_dataset(n=200, m=8, beta_sd=1.0, seed=5)
+    rld = rlog(dds, blind=True)
+    assert rld.matrix.shape == dds.counts.shape
+    assert np.isfinite(rld.matrix).all()
+    d = estimate_size_factors(dds)
+    log_nc = np.log2(d.counts_normalized() + 0.5)
+    # per-gene sample variance of rlog values is <= that of log counts
+    # for the vast majority of genes (shrinkage toward the fitted mean)
+    var_rlog = rld.matrix.var(axis=1)
+    var_log = log_nc.var(axis=1)
+    assert np.mean(var_rlog <= var_log + 1e-8) > 0.9
+    # high-count genes barely shrunk: rlog ~ log2 norm counts
+    bm = d.counts_normalized().mean(axis=1)
+    big = bm > 200
+    if big.sum() > 5:
+        resid = rld.matrix[big] - log_nc[big]
+        assert np.abs(resid).mean() < 0.2
+
+
+def test_rlog_frozen_intercept():
+    """Frozen re-application: rlog with a saved intercept + prior var
+    reproduces the transform on the same data (R/rlog.R:51-58)."""
+    dds = make_example_dataset(n=150, m=6, seed=9)
+    rld = rlog(dds, blind=True)
+    intercept = rld.attrs["rlogIntercept"]
+    bpv = rld.attrs["betaPriorVar"]
+    from deseq2_tpu.dispersions import (estimate_dispersions_fit,
+                                        estimate_dispersions_gene_est)
+    from deseq2_tpu.formula import parse_formula
+    d2 = estimate_size_factors(dds)
+    d2.design = parse_formula("~ 1")
+    d2 = estimate_dispersions_gene_est(d2, quiet=True)
+    d2 = estimate_dispersions_fit(d2, quiet=True)
+    rld2 = rlog(d2, blind=False, intercept=intercept, beta_prior_var=bpv)
+    mask = np.isfinite(rld.matrix)
+    np.testing.assert_allclose(rld2.matrix[mask], rld.matrix[mask],
+                               atol=0.15)
+
+
+def test_rlog_all_zero_rows():
+    dds = make_example_dataset(n=120, m=6, seed=2)
+    dds.counts[5] = 0
+    rld = rlog(dds, blind=True)
+    np.testing.assert_array_equal(rld.matrix[5], 0.0)
