@@ -22,6 +22,13 @@ import jax as _jax
 if _os.environ.get("DESEQ2_TPU_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
+# Full-f32 matmuls: the TPU default (bf16 MXU passes) injects ~1e-3
+# relative error into beta @ X' / X'WX, which turns the IRLS fixpoint
+# into a limit cycle (genes oscillate to maxit instead of converging).
+# All matmuls here are (G,S)x(S,p^2) with tiny p — bandwidth-bound, so
+# full precision costs nothing.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from .config import DESeqConfig  # noqa: E402
 from .dataset import (DESeqDataSet, dataset_from_htseq_count,  # noqa: E402
                       dataset_from_matrix, dataset_from_tximport)

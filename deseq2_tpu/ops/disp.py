@@ -207,44 +207,26 @@ def fit_disp_line_search(y, x, mu, log_alpha_init, prior_mean, prior_var,
     return out
 
 
-@partial(jax.jit, static_argnames=("maxit", "use_prior", "use_weights", "use_cr"))
-def _fit_disp_line_search_core(y, x, mu, log_alpha_init, prior_mean, prior_var,
-                         min_log_alpha, kappa_0=1.0, tol=1e-6, maxit=100,
-                         use_prior=False, weights=None, use_weights=False,
-                         weight_threshold=1e-2, use_cr=True):
-    """Batched Armijo backtracking ascent on log(alpha) (cpp:163-277).
+def _ls_body_factory(data, x, prior_var, use_prior, use_weights, use_cr,
+                     min_log_alpha, kappa_0, dtype):
+    """Build (lp_fn, dlp_fn, body) closed over the per-gene `data` dict.
 
-    Returns dict(log_alpha, iter, iter_accept, last_change, initial_lp,
-    initial_dlp, last_lp, last_dlp, last_d2lp) matching the Rcpp list.
+    Keeping the per-gene arrays in a dict makes the loop body reusable on
+    a compacted (gathered) subset of genes — the straggler pass below.
     """
-    G = y.shape[0]
-    dtype = mu.dtype
-    y = y.astype(dtype)
-    row_mask, col_mask = make_cr_masks(x, weights, weight_threshold,
-                                       use_weights)
-    kw = dict(weights=weights, use_weights=use_weights, row_mask=row_mask,
-              col_mask=col_mask, use_cr=use_cr)
+    y, mu, prior_mean, tol_eff = (data["y"], data["mu"], data["prior_mean"],
+                                  data["tol_eff"])
+    kw = dict(weights=data.get("weights"), use_weights=use_weights,
+              row_mask=data.get("row_mask"), col_mask=data.get("col_mask"),
+              use_cr=use_cr)
 
     def lp_fn(a):
-        return log_posterior(a, y, mu, x, prior_mean, prior_var, use_prior, **kw)
+        return log_posterior(a, y, mu, x, prior_mean, prior_var, use_prior,
+                             **kw)
 
     def dlp_fn(a):
-        return dlog_posterior(a, y, mu, x, prior_mean, prior_var, use_prior, **kw)
-
-    a0 = log_alpha_init.astype(dtype)
-    lp0 = lp_fn(a0)
-    dlp0 = dlp_fn(a0)
-
-    # dtype-aware tolerance: lp is O(1e2-1e5), so in f32 an absolute
-    # change below |lp|*eps is pure rounding noise — the reference's
-    # 1e-6 absolute tol would never be met and every gene would grind
-    # through kappa-halving to maxit.  No-op in f64 for practical |lp|.
-    tol_eff = jnp.maximum(tol, jnp.abs(lp0) * 50.0 * jnp.finfo(dtype).eps)
-
-    def cond(state):
-        t = state[0]
-        done = state[8]
-        return (t < maxit) & jnp.any(~done)
+        return dlog_posterior(a, y, mu, x, prior_mean, prior_var, use_prior,
+                              **kw)
 
     def body(state):
         (t, a, kappa, lp, dlp, iters, iter_accept, change, done) = state
@@ -289,12 +271,67 @@ def _fit_disp_line_search_core(y, x, mu, log_alpha_init, prior_mean, prior_var,
         done = done | newly_done
         return (t + 1, a, kappa, lp, dlp, iters, iter_accept, change, done)
 
+    return lp_fn, dlp_fn, body
+
+
+@partial(jax.jit, static_argnames=("maxit", "use_prior", "use_weights", "use_cr"))
+def _fit_disp_line_search_core(y, x, mu, log_alpha_init, prior_mean, prior_var,
+                         min_log_alpha, kappa_0=1.0, tol=1e-6, maxit=100,
+                         use_prior=False, weights=None, use_weights=False,
+                         weight_threshold=1e-2, use_cr=True):
+    """Batched Armijo backtracking ascent on log(alpha) (cpp:163-277).
+
+    Returns dict(log_alpha, iter, iter_accept, last_change, initial_lp,
+    initial_dlp, last_lp, last_dlp, last_d2lp) matching the Rcpp list.
+
+    Cascading straggler compaction (see ops/padding.py:cascade_while):
+    the live set is repeatedly gathered into smaller static buffers as
+    genes converge, so tail trips don't pay the full (G,S) cost.
+    Gather -> same body -> scatter is exact, not an approximation.
+    """
+    from .padding import cascade_caps, cascade_while
+
+    G = y.shape[0]
+    dtype = mu.dtype
+    y = y.astype(dtype)
+    row_mask, col_mask = make_cr_masks(x, weights, weight_threshold,
+                                       use_weights)
+    kw = dict(weights=weights, use_weights=use_weights, row_mask=row_mask,
+              col_mask=col_mask, use_cr=use_cr)
+
+    a0 = log_alpha_init.astype(dtype)
+    data = dict(y=y, mu=mu, prior_mean=prior_mean)
+    if weights is not None:
+        data["weights"] = weights
+        if row_mask is not None:
+            data["row_mask"], data["col_mask"] = row_mask, col_mask
+
+    lp_fn0, dlp_fn0, _ = _ls_body_factory(
+        dict(data, tol_eff=jnp.zeros(G, dtype)), x, prior_var, use_prior,
+        use_weights, use_cr, min_log_alpha, kappa_0, dtype)
+    lp0 = lp_fn0(a0)
+    dlp0 = dlp_fn0(a0)
+
+    # dtype-aware tolerance: lp is O(1e2-1e5), so in f32 an absolute
+    # change below |lp|*eps is pure rounding noise — the reference's
+    # 1e-6 absolute tol would never be met and every gene would grind
+    # through kappa-halving to maxit.  No-op in f64 for practical |lp|.
+    tol_eff = jnp.maximum(tol, jnp.abs(lp0) * 50.0 * jnp.finfo(dtype).eps)
+    data["tol_eff"] = tol_eff
+
+    def make_body(d):
+        return _ls_body_factory(d, x, prior_var, use_prior, use_weights,
+                                use_cr, min_log_alpha, kappa_0, dtype)[2]
+
     kappa_init = jnp.full(G, kappa_0, dtype=dtype)
     state = (jnp.array(0, jnp.int32), a0, kappa_init, lp0, dlp0,
              jnp.zeros(G, jnp.int32), jnp.zeros(G, jnp.int32),
              jnp.full(G, -1.0, dtype=dtype), jnp.zeros(G, dtype=bool))
-    (_, a, _, lp, dlp, iters, iter_accept, change, _) = \
-        jax.lax.while_loop(cond, body, state)
+
+    state = cascade_while(make_body, lambda s: ~s[8], data, state, maxit,
+                          cascade_caps(G))
+
+    (_, a, _, lp, dlp, iters, iter_accept, change, _) = state
 
     d2 = d2log_posterior(a, y, mu, x, prior_mean, prior_var, use_prior, **kw)
     return dict(log_alpha=a, iter=iters, iter_accept=iter_accept,

@@ -103,31 +103,80 @@ def _fit_beta_core(y, x, nf, alpha, beta_init, ridge, weights=None, contrast=Non
     log_nf = jnp.log(nf)
     ridge_mat = jnp.diag(ridge.astype(dtype))
 
-    def compute_mu(beta):
-        return jnp.maximum(nf * jnp.exp(beta @ x.T), min_mu)
+    def make_fns(data):
+        """IRLS step closures over the per-gene `data` dict — reusable on
+        a compacted (gathered) straggler subset."""
+        d_y, d_nf, d_lognf = data["y"], data["nf"], data["log_nf"]
+        d_alpha, d_size, d_devc = data["alpha"], data["size"], data["dev_const"]
+        d_wts = data.get("wts")
 
-    def compute_w(mu):
-        w = mu / (1.0 + alpha[:, None] * mu)
-        if wts is not None:
-            w = wts * w
-        return w
+        def compute_mu(beta):
+            return jnp.maximum(d_nf * jnp.exp(beta @ x.T), min_mu)
 
-    def deviance(mu):
-        # -2 * sum_s wts * [lg_const - size*log(size+mu) + y*log(mu/(size+mu))]
-        sz = size[:, None]
-        t = jnp.where(y > 0, y * (jnp.log(mu) - jnp.log(sz + mu)), 0.0)
-        core = -sz * jnp.log(sz + mu) + t
-        if wts is not None:
-            core = wts * core
-        return dev_const + (-2.0) * jnp.sum(core, axis=-1)
+        def compute_w(mu):
+            w = mu / (1.0 + d_alpha[:, None] * mu)
+            if d_wts is not None:
+                w = d_wts * w
+            return w
 
-    def solve_beta(mu):
-        w = compute_w(mu)
-        z = jnp.log(mu) - log_nf + (y - mu) / mu
-        A = _xtwx(x, w) + ridge_mat[None]
-        rhs = (w * z) @ x  # (G,p)
-        return chol_solve(A, rhs[..., None])[..., 0]
+        def deviance(mu):
+            # -2*sum_s wts*[lg_const - size*log(size+mu) + y*log(mu/(size+mu))]
+            sz = d_size[:, None]
+            t = jnp.where(d_y > 0, d_y * (jnp.log(mu) - jnp.log(sz + mu)), 0.0)
+            core = -sz * jnp.log(sz + mu) + t
+            if d_wts is not None:
+                core = d_wts * core
+            return d_devc + (-2.0) * jnp.sum(core, axis=-1)
 
+        def solve_beta(mu):
+            w = compute_w(mu)
+            z = jnp.log(mu) - d_lognf + (d_y - mu) / mu
+            A = _xtwx(x, w) + ridge_mat[None]
+            rhs = (w * z) @ x  # (G,p)
+            return chol_solve(A, rhs[..., None])[..., 0]
+
+        def body(state):
+            t, beta, mu, dev_old, iters, active, dev = state
+            iters = iters + active.astype(jnp.int32)
+            beta_new = solve_beta(mu)
+            diverged = jnp.any(jnp.abs(beta_new) > LARGE_BETA, axis=-1)
+            # diverged rows keep the diverged beta but the previous mu,
+            # and are stamped iter = maxit (cpp:357-359)
+            take = active
+            beta_prev = beta
+            beta = jnp.where(take[:, None], beta_new, beta)
+            cont = active & ~diverged
+            mu_new = compute_mu(beta_new)
+            mu = jnp.where(cont[:, None], mu_new, mu)
+            dev_new = deviance(mu_new)
+            dev = jnp.where(cont, dev_new, dev)
+            conv_test = jnp.abs(dev_new - dev_old) / (jnp.abs(dev_new) + 0.1)
+            bad = jnp.isnan(conv_test)
+            converged = (t > 0) & (conv_test < tol)
+            # f32 only: the deviance is a sum of S large lgamma terms, so
+            # its rounding noise (~S terms x term-magnitude x eps) can
+            # exceed the relative tol and the deviance test then never
+            # fires.  The fit itself is still converged once beta stops
+            # moving at f32 resolution — test that directly.  Disabled in
+            # f64 where the reference's deviance test resolves fine.
+            if jnp.finfo(dtype).eps > 1e-10:
+                eps = jnp.finfo(dtype).eps
+                dbeta = jnp.max(jnp.abs(beta_new - beta_prev), axis=-1)
+                scale = 1.0 + jnp.max(jnp.abs(beta_new), axis=-1)
+                converged = converged | ((t > 0) & (dbeta < 32.0 * eps * scale))
+            iters = jnp.where(active & (diverged | (bad & ~diverged)), maxit,
+                              iters)
+            active = cont & ~bad & ~converged
+            dev_old = jnp.where(cont, dev_new, dev_old)
+            return t + 1, beta, mu, dev_old, iters, active, dev
+
+        return compute_mu, compute_w, body
+
+    data = dict(y=y, nf=nf, log_nf=log_nf, alpha=alpha, size=size,
+                dev_const=dev_const)
+    if wts is not None:
+        data["wts"] = wts
+    compute_mu, compute_w, body = make_fns(data)
     mu0 = compute_mu(beta_init)
 
     # dtype-aware tolerance: the relative-deviance test cannot resolve
@@ -141,36 +190,14 @@ def _fit_beta_core(y, x, nf, alpha, beta_init, ridge, weights=None, contrast=Non
         iters = jnp.zeros(G, dtype=jnp.int32)
         dev = jnp.zeros(G, dtype=dtype)
     else:
-        def cond(state):
-            t, _, _, _, _, active, _ = state
-            return (t < maxit) & jnp.any(active)
-
-        def body(state):
-            t, beta, mu, dev_old, iters, active, dev = state
-            iters = iters + active.astype(jnp.int32)
-            beta_new = solve_beta(mu)
-            diverged = jnp.any(jnp.abs(beta_new) > LARGE_BETA, axis=-1)
-            # diverged rows keep the diverged beta but the previous mu,
-            # and are stamped iter = maxit (cpp:357-359)
-            take = active
-            beta = jnp.where(take[:, None], beta_new, beta)
-            cont = active & ~diverged
-            mu_new = compute_mu(beta_new)
-            mu = jnp.where(cont[:, None], mu_new, mu)
-            dev_new = deviance(mu_new)
-            dev = jnp.where(cont, dev_new, dev)
-            conv_test = jnp.abs(dev_new - dev_old) / (jnp.abs(dev_new) + 0.1)
-            bad = jnp.isnan(conv_test)
-            converged = (t > 0) & (conv_test < tol)
-            iters = jnp.where(active & (diverged | (bad & ~diverged)), maxit, iters)
-            active = cont & ~bad & ~converged
-            dev_old = jnp.where(cont, dev_new, dev_old)
-            return t + 1, beta, mu, dev_old, iters, active, dev
+        from .padding import cascade_caps, cascade_while
 
         state = (jnp.array(0, dtype=jnp.int32), beta_init, mu0,
                  jnp.zeros(G, dtype=dtype), jnp.zeros(G, dtype=jnp.int32),
                  jnp.ones(G, dtype=bool), jnp.zeros(G, dtype=dtype))
-        _, beta, mu, _, iters, _, dev = jax.lax.while_loop(cond, body, state)
+        state = cascade_while(lambda d: make_fns(d)[2], lambda s: s[5],
+                              data, state, maxit, cascade_caps(G))
+        _, beta, mu, _, iters, _, dev = state
 
     # ---- post-fit quantities from the final (beta, mu) (cpp:429-455) ----
     w = compute_w(mu)

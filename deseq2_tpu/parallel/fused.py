@@ -27,6 +27,7 @@ from ..ops.disp import (fit_disp_grid, fit_disp_line_search,
                         _fit_disp_grid_core, _fit_disp_line_search_core)
 from ..ops.irls import _fit_beta_core
 from ..ops.linalg import chol_solve
+from ..ops.padding import compact_live_indices, straggler_capacity
 
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
@@ -114,18 +115,45 @@ def _bh_adjust(p, valid):
     return jnp.where(valid, out, jnp.nan)
 
 
-@partial(jax.jit, static_argnames=("maxit", "min_disp_pow"))
+@partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "mesh"))
 def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
-                        min_disp_pow=-8):
+                        min_disp_pow=-8, mesh=None):
     """counts: (G,S) int; x: (S,p); size_factors: (S,); grid: (20,) log
     alpha grid.  Returns per-gene results dict (log2 scale LFC/SE/stat/p,
-    plus dispersions and diagnostics)."""
+    plus dispersions and diagnostics).
+
+    With `mesh` (a 1-D 'genes' device mesh), the three per-gene hot
+    solvers (dispersion MLE/MAP line searches, IRLS) and the grid
+    fallback run under shard_map: each shard iterates only until ITS
+    genes converge and compacts its own stragglers locally — no
+    collectives inside the solver loops (GSPMD cannot partition the
+    gather/scatter compaction pattern, and lockstep trip counts would
+    be the max over all shards anyway).  The cross-gene reductions
+    (trend fit, MAD, prior variance, BH) stay in the auto-sharded outer
+    program where XLA inserts the all-reduces."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     G, S = counts.shape
     p = x.shape[1]
     min_disp = 10.0 ** min_disp_pow
     max_disp = jnp.maximum(10.0, S).astype(dtype)
     min_mu = 0.5
+
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec
+        gP = PartitionSpec("genes")
+        rP = PartitionSpec()
+
+        def smap(f, in_specs, out_specs=None):
+            # check_vma=False: loop carries seeded from replicated scalars
+            # (jnp.full) trip the varying-axes check against the per-shard
+            # body outputs; the solvers are per-gene so VMA adds nothing.
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=gP if out_specs is None
+                                 else out_specs, check_vma=False)
+    else:
+        def smap(f, in_specs, out_specs=None):
+            return f
+        gP = rP = None
 
     y = counts.astype(dtype)
     sf = size_factors.astype(dtype)
@@ -154,10 +182,16 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     mu_safe = jnp.where(all_zero[:, None], 1.0, mu_disp)
 
     # ---- gene-wise MLE line search (R/core.R:770-848) ---------------------
+    import math
+    min_la = math.log(min_disp / 10.0)
     la0 = jnp.log(alpha_init)
-    mle = _fit_disp_line_search_core(
-        y_safe, x, mu_safe, la0, la0, 1.0, jnp.log(min_disp / 10.0),
-        maxit=maxit, use_prior=False)
+
+    def _mle_fn(y_, mu_, la_, x_):
+        return _fit_disp_line_search_core(y_, x_, mu_, la_, la_, 1.0,
+                                          min_la, maxit=maxit,
+                                          use_prior=False)
+
+    mle = smap(_mle_fn, (gP, gP, gP, rP))(y_safe, mu_safe, la0, x)
     alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
     no_increase = mle["last_lp"] < mle["initial_lp"] + \
         jnp.abs(mle["initial_lp"]) / 1e6
@@ -165,14 +199,51 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
     refit = ~conv & (disp_gene_est > min_disp * 10)
 
-    def run_grid(_):
-        la = _fit_disp_grid_core(y_safe, x, mu_safe, grid.astype(dtype),
-                                 jnp.zeros(G, dtype), 1.0, use_prior=False)
-        return jnp.exp(la)
+    def _grid_fb(use_prior):
+        def fb(disp_cur, need, prior_mean_arr, prior_var, y_, mu_, x_, grid_):
+            """Grid-search fallback only on the `need` genes: gather them
+            into a small static buffer when few (the common case), full
+            batch otherwise.  Exact — the grid is per-gene independent.
+            Shapes are per-shard under shard_map, so the capacity and the
+            compaction are local to each device."""
+            g_local = y_.shape[0]
+            capg = straggler_capacity(g_local, frac=16, floor=1024)
 
-    grid_est = jax.lax.cond(jnp.any(refit), run_grid,
-                            lambda _: disp_gene_est, operand=None)
-    disp_gene_est = jnp.where(refit, grid_est, disp_gene_est)
+            def full_fn(_):
+                la = _fit_disp_grid_core(y_, x_, mu_, grid_.astype(dtype),
+                                         prior_mean_arr, prior_var,
+                                         use_prior=use_prior)
+                return jnp.where(need, jnp.exp(la), disp_cur)
+
+            if capg == 0:
+                return jax.lax.cond(jnp.any(need), full_fn,
+                                    lambda _: disp_cur, operand=None)
+
+            def compact_fn(_):
+                idx = compact_live_indices(need, capg)
+                la = _fit_disp_grid_core(y_[idx], x_, mu_[idx],
+                                         grid_.astype(dtype),
+                                         prior_mean_arr[idx],
+                                         prior_var, use_prior=use_prior)
+                new = jnp.where(need[idx], jnp.exp(la), disp_cur[idx])
+                return disp_cur.at[idx].set(new)
+
+            n = jnp.sum(need)
+            return jax.lax.cond(
+                n == 0, lambda _: disp_cur,
+                lambda _: jax.lax.cond(n > capg, full_fn, compact_fn,
+                                       operand=None), operand=None)
+        return fb
+
+    grid_specs = (gP, gP, gP, rP, gP, gP, rP, rP)
+
+    def grid_fallback(disp_cur, need, prior_mean_arr, prior_var, use_prior):
+        pv = jnp.asarray(prior_var, dtype)
+        return smap(_grid_fb(use_prior), grid_specs)(
+            disp_cur, need, prior_mean_arr, pv, y_safe, mu_safe, x, grid)
+
+    disp_gene_est = grid_fallback(disp_gene_est, refit,
+                                  jnp.zeros(G, dtype), 1.0, False)
     disp_gene_est = jnp.clip(disp_gene_est, min_disp, max_disp)
 
     # ---- parametric trend (cross-gene reduction) --------------------------
@@ -191,22 +262,19 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     # ---- MAP shrinkage (R/core.R:1016-1115) --------------------------------
     disp_init = jnp.where(disp_gene_est > 0.1 * disp_fit, disp_gene_est,
                           disp_fit)
-    map_res = _fit_disp_line_search_core(
-        y_safe, x, mu_safe, jnp.log(disp_init), jnp.log(disp_fit),
-        disp_prior_var, jnp.log(min_disp / 10.0), maxit=maxit,
-        use_prior=True)
+
+    def _map_fn(y_, mu_, la_, pm_, pv_, x_):
+        return _fit_disp_line_search_core(y_, x_, mu_, la_, pm_, pv_,
+                                          min_la, maxit=maxit,
+                                          use_prior=True)
+
+    map_res = smap(_map_fn, (gP, gP, gP, gP, rP, rP))(
+        y_safe, mu_safe, jnp.log(disp_init), jnp.log(disp_fit),
+        disp_prior_var, x)
     disp_map = jnp.exp(map_res["log_alpha"])
     refit_map = map_res["iter"] >= maxit
-
-    def run_grid_map(_):
-        la = _fit_disp_grid_core(y_safe, x, mu_safe, grid.astype(dtype),
-                                 jnp.log(disp_fit), disp_prior_var,
-                                 use_prior=True)
-        return jnp.exp(la)
-
-    grid_map = jax.lax.cond(jnp.any(refit_map), run_grid_map,
-                            lambda _: disp_map, operand=None)
-    disp_map = jnp.where(refit_map, grid_map, disp_map)
+    disp_map = grid_fallback(disp_map, refit_map, jnp.log(disp_fit),
+                             disp_prior_var, True)
     disp_map = jnp.clip(disp_map, min_disp, max_disp)
     disp_outlier = jnp.log(disp_gene_est) > jnp.log(disp_fit) + \
         2.0 * jnp.sqrt(var_log_disp)
@@ -215,8 +283,13 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     # ---- NB GLM + Wald (R/core.R:1400-1508) --------------------------------
     beta_init = chol_solve(x.T @ x, (jnp.log(norm_counts + 0.1) @ x).T).T
     lam_nat = jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)
-    fit = _fit_beta_core(y_safe, x, nf, dispersion, beta_init, lam_nat,
-                         maxit=maxit, min_mu=min_mu)
+
+    def _irls_fn(y_, nf_, al_, b0_, x_, lam_):
+        return _fit_beta_core(y_, x_, nf_, al_, b0_, lam_,
+                              maxit=maxit, min_mu=min_mu)
+
+    fit = smap(_irls_fn, (gP, gP, gP, gP, rP, rP))(
+        y_safe, nf, dispersion, beta_init, x, lam_nat)
     beta_log2 = LOG2E * fit["beta"]
     se_log2 = LOG2E * jnp.sqrt(jnp.maximum(fit["beta_var"], 0.0))
     wald_stat = beta_log2 / se_log2
@@ -258,6 +331,7 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
     grid = np.linspace(np.log(min_disp),
                        np.log(max(10.0, counts.shape[1])), 20)
     grid_d = jax.device_put(grid, rep)
-    out = fused_wald_pipeline(counts_d, x_d, sf_d, grid_d, maxit=maxit)
+    out = fused_wald_pipeline(counts_d, x_d, sf_d, grid_d, maxit=maxit,
+                              mesh=mesh if n_dev > 1 else None)
     return {k: np.asarray(v)[:G] if np.ndim(v) and np.shape(v)[0] ==
             counts_p.shape[0] else np.asarray(v) for k, v in out.items()}
