@@ -33,7 +33,9 @@ from .config import DESeqConfig  # noqa: E402
 from .dataset import (DESeqDataSet, dataset_from_htseq_count,  # noqa: E402
                       dataset_from_matrix, dataset_from_tximport)
 from .deseq import deseq  # noqa: E402
-from .helper import collapse_replicates, fpkm, fpm, unmix  # noqa: E402
+from .helper import (collapse_replicates, covariance_matrix,  # noqa: E402
+                     fpkm, fpm, integrate_with_single_cell,
+                     normalize_gene_length, unmix)
 from .shrink import lfc_shrink  # noqa: E402
 from .transforms import (DESeqTransform, norm_transform,  # noqa: E402
                          rlog, variance_stabilizing_transformation, vst)
@@ -57,7 +59,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "DESeqConfig", "DESeqDataSet", "DESeqResults", "DESeqTransform",
-    "Factor", "Formula", "collapse_replicates",
+    "Factor", "Formula", "collapse_replicates", "covariance_matrix",
+    "integrate_with_single_cell", "normalize_gene_length",
     "dataset_from_htseq_count", "dataset_from_matrix",
     "dataset_from_tximport", "deseq", "estimate_beta_prior_var",
     "estimate_dispersions", "estimate_dispersions_fit",

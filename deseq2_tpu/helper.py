@@ -148,3 +148,76 @@ def unmix(x, pure, alpha=None, shift=None, power=1, return_details=False,
                          for i in range(x.shape[1])])
         return dict(mix=mix, cor=cors, fitted=fitted)
     return mix
+
+
+def covariance_matrix(dds, row_number):
+    """Covariance matrix of the GLM coefficients of a single gene, log2
+    scale (reference covarianceMatrix diagnostic, R/core.R:2373-2398).
+
+    Rebuilds the sandwich sigma = A^-1 (X'WX) A^-1 with
+    A = X'WX + ridge(1/betaPriorVar) from the stored log2 coefficients.
+    Only for standard model matrices."""
+    if dds.attrs.get("modelMatrixType") != "standard":
+        raise ValueError("only for standard model matrices")
+    ln2 = np.log(2.0)
+    coef_cols = dds.results_names()
+    beta = ln2 * np.array([float(dds.row_data[c][row_number])
+                           for c in coef_cols])
+    x, _ = dds.model_matrix()
+    y = dds.counts[row_number]
+    sf = dds.size_factors
+    alpha = float(dds.row_data["dispersion"][row_number])
+    mu_hat = np.maximum(sf * np.exp(x @ beta), 0.5)
+    # W = diag(1 / (1/mu^2 * (mu + alpha mu^2))) = mu / (1 + alpha mu)
+    w = mu_hat / (1.0 + alpha * mu_hat)
+    beta_prior_var = np.asarray(dds.attrs["betaPriorVar"], dtype=np.float64)
+    ridge = np.diag(1.0 / (ln2 ** 2 * beta_prior_var))
+    xtwx = (x * w[:, None]).T @ x
+    a_inv = np.linalg.inv(xtwx + ridge)
+    sigma = a_inv @ xtwx @ a_inv.T
+    return np.log2(np.e) ** 2 * sigma
+
+
+def normalize_gene_length(*args, **kwargs):
+    """Deprecated in the reference (R/helper.R:393-398): normalization for
+    gene length was moved upstream of DESeq2 (tximport pipeline)."""
+    raise NotImplementedError(
+        "normalizeGeneLength is deprecated in the reference; use the "
+        "tximport ingestion path (dataset_from_tximport) where average "
+        "transcript lengths become normalization factors")
+
+
+def integrate_with_single_cell(res, dds, csv_table=None):
+    """Menu-driven integration of bulk DE results with pre-processed
+    scRNA-seq datasets (reference integrateWithSingleCell,
+    R/helper.R:476-580).
+
+    The reference reads a packaged CSV of Bioconductor dataset accessors
+    and interactively prompts the user; those packages don't exist
+    outside Bioconductor, so this port resolves the organism the same
+    way (tximeta metadata, else ENSG/ENSMUSG gene-id prefixes) and
+    returns the organism plus the filtered dataset table for the caller
+    to act on.  Pass `csv_table` as a list of dicts with keys
+    org/pkg/func/data/pub/nCells/desc to supply a dataset menu."""
+    org_meta = dds.metadata.get("txomeInfo", {}) if hasattr(
+        dds, "metadata") and isinstance(getattr(dds, "metadata", None),
+                                        dict) else {}
+    tximeta_org = org_meta.get("organism")
+    if tximeta_org is not None:
+        if tximeta_org == "Homo sapiens":
+            org = "human"
+        elif tximeta_org == "Mus musculus":
+            org = "mouse"
+        else:
+            raise ValueError("Only human and mouse are currently supported")
+    else:
+        test_gene = (res.row_names[0] if getattr(res, "row_names", None)
+                     is not None else "")
+        if str(test_gene).startswith("ENSG"):
+            org = "human"
+        elif str(test_gene).startswith("ENSMUSG"):
+            org = "mouse"
+        else:
+            raise ValueError("Only human and mouse are currently supported")
+    tab = [row for row in (csv_table or []) if row.get("org") == org]
+    return dict(org=org, datasets=tab, res=res, dds=dds)

@@ -95,3 +95,38 @@ def test_unmix_arg_errors():
         unmix(x, pure, alpha=1.0, shift=1.0)  # both
     with pytest.raises(ValueError):
         unmix(x, np.ones((10, 1)), alpha=1.0)  # single pure column
+
+
+def test_covariance_matrix():
+    """covarianceMatrix diagnostic (R/core.R:2373-2398): diagonal must
+    match the stored SE^2 for a no-prior fit."""
+    import deseq2_tpu as dt
+    dds = dt.make_example_dataset(n=80, m=8, seed=11)
+    dds = dt.deseq(dds)
+    sigma = dt.covariance_matrix(dds, 3)
+    p = len(dds.results_names())
+    assert sigma.shape == (p, p)
+    se = np.array([float(dds.row_data[f"SE_{c}"][3])
+                   for c in dds.results_names()])
+    np.testing.assert_allclose(np.sqrt(np.diag(sigma)), se, rtol=1e-5)
+
+
+def test_integrate_with_single_cell_org_detection():
+    import deseq2_tpu as dt
+    dds = dt.make_example_dataset(n=40, m=6, seed=2)
+    dds.row_names = [f"ENSG{i:011d}" for i in range(40)]
+    dds = dt.deseq(dds)
+    res = dt.results(dds)
+    res.row_names = list(dds.row_names)
+    tab = [dict(org="human", pkg="p", func="f"),
+           dict(org="mouse", pkg="q", func="g")]
+    out = dt.integrate_with_single_cell(res, dds, csv_table=tab)
+    assert out["org"] == "human"
+    assert out["datasets"] == [tab[0]]
+
+
+def test_normalize_gene_length_deprecated():
+    import pytest
+    import deseq2_tpu as dt
+    with pytest.raises(NotImplementedError):
+        dt.normalize_gene_length()
