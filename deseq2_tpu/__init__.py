@@ -54,6 +54,9 @@ from .sizefactors import (estimate_size_factors,  # noqa: E402
                           size_factors_for_matrix)
 from .wald import (estimate_beta_prior_var,  # noqa: E402
                    estimate_mle_for_beta_prior_var, nbinom_wald_test)
+from . import io  # noqa: E402
+from .io import (load_dataset, load_results, save_dataset,  # noqa: E402
+                 save_results)
 
 __version__ = "0.1.0"
 
@@ -67,6 +70,7 @@ __all__ = [
     "estimate_dispersions_gene_est", "estimate_dispersions_map",
     "estimate_dispersions_prior_var", "estimate_mle_for_beta_prior_var",
     "estimate_size_factors", "fpkm", "fpm", "lfc_shrink",
+    "save_dataset", "load_dataset", "save_results", "load_results",
     "make_example_dataset", "nbinom_lrt", "nbinom_wald_test",
     "norm_transform", "parse_formula", "remove_results", "results",
     "results_names", "rlog", "size_factors_for_matrix", "unmix",

@@ -13,6 +13,7 @@ from .lrt import check_lrt, nbinom_lrt
 from .outliers import refit_without_outliers
 from .sizefactors import estimate_size_factors
 from .wald import nbinom_wald_test
+from . import profiling
 
 
 def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
@@ -86,26 +87,33 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
     dds = dds.copy()
     dds.attrs["betaPrior"] = beta_prior
 
+    G = dds.counts.shape[0]
     if dds.size_factors is None and dds.normalization_factors is None:
-        dds = estimate_size_factors(dds, type=sf_type, quiet=quiet)
+        with profiling.stage("estimateSizeFactors", genes=G):
+            dds = estimate_size_factors(dds, type=sf_type, quiet=quiet)
 
-    dds = estimate_dispersions(dds, fit_type=fit_type, quiet=quiet,
-                               model_matrix=model_matrix, min_mu=minmu)
+    with profiling.stage("estimateDispersions", genes=G):
+        dds = estimate_dispersions(dds, fit_type=fit_type, quiet=quiet,
+                                   model_matrix=model_matrix, min_mu=minmu)
     if test == "Wald":
-        dds = nbinom_wald_test(dds, beta_prior=beta_prior, quiet=quiet,
-                               model_matrix=model_matrix,
-                               model_matrix_type=model_matrix_type,
-                               use_t=use_t, min_mu=minmu)
+        with profiling.stage("nbinomWaldTest", genes=G):
+            dds = nbinom_wald_test(dds, beta_prior=beta_prior, quiet=quiet,
+                                   model_matrix=model_matrix,
+                                   model_matrix_type=model_matrix_type,
+                                   use_t=use_t, min_mu=minmu)
     else:
-        dds = nbinom_lrt(dds, full=full if full is not None else dds.design,
-                         reduced=reduced, quiet=quiet, min_mu=minmu,
-                         type=("glmGamPoi" if fit_type == "glmGamPoi"
-                               else "DESeq2"))
+        with profiling.stage("nbinomLRT", genes=G):
+            dds = nbinom_lrt(dds,
+                             full=full if full is not None else dds.design,
+                             reduced=reduced, quiet=quiet, min_mu=minmu,
+                             type=("glmGamPoi" if fit_type == "glmGamPoi"
+                                   else "DESeq2"))
 
     if np.isfinite(min_replicates_for_replace):
         sufficient = np.any(n_or_more_in_cell(dds.attrs["modelMatrix"],
                                               min_replicates_for_replace))
         if sufficient:
+          with profiling.stage("refitWithoutOutliers", genes=G):
             dds = refit_without_outliers(
                 dds, test=test, beta_prior=beta_prior, full=full,
                 reduced=reduced, quiet=quiet,
