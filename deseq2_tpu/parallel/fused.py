@@ -25,12 +25,29 @@ from jax.scipy.special import erfc, polygamma
 
 from ..ops.disp import (fit_disp_grid, fit_disp_line_search,
                         _fit_disp_grid_core, _fit_disp_line_search_core)
+from ..ops.pallas_disp import fit_disp_grid_pallas, pallas_grid_supported
 from ..ops.irls import _fit_beta_core
 from ..ops.linalg import chol_solve
 from ..ops.padding import compact_live_indices, straggler_capacity
 
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
+
+
+def _use_pallas_grid(S, p, dtype):
+    """Route the grid fallback through the Pallas kernel on TPU (f32).
+
+    env DESEQ2_TPU_PALLAS: auto (default; TPU + supported shape),
+    0/false (always XLA), 1 (same as auto).  The XLA path stays the
+    f64 reference-parity implementation.
+    """
+    import os
+    flag = os.environ.get("DESEQ2_TPU_PALLAS", "auto").lower()
+    if flag in ("0", "false", "off"):
+        return False
+    if not pallas_grid_supported(S, p, dtype):
+        return False
+    return jax.default_backend() not in ("cpu",)
 
 
 def _ls_fitted(y, x):
@@ -209,10 +226,17 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             g_local = y_.shape[0]
             capg = straggler_capacity(g_local, frac=16, floor=1024)
 
+            def grid_solve(yy, mm, pm):
+                if _use_pallas_grid(yy.shape[1], x_.shape[1], dtype):
+                    return fit_disp_grid_pallas(
+                        yy, x_, mm, grid_.astype(dtype), pm, prior_var,
+                        use_prior=use_prior)
+                return _fit_disp_grid_core(yy, x_, mm, grid_.astype(dtype),
+                                           pm, prior_var,
+                                           use_prior=use_prior)
+
             def full_fn(_):
-                la = _fit_disp_grid_core(y_, x_, mu_, grid_.astype(dtype),
-                                         prior_mean_arr, prior_var,
-                                         use_prior=use_prior)
+                la = grid_solve(y_, mu_, prior_mean_arr)
                 return jnp.where(need, jnp.exp(la), disp_cur)
 
             if capg == 0:
@@ -221,10 +245,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
             def compact_fn(_):
                 idx = compact_live_indices(need, capg)
-                la = _fit_disp_grid_core(y_[idx], x_, mu_[idx],
-                                         grid_.astype(dtype),
-                                         prior_mean_arr[idx],
-                                         prior_var, use_prior=use_prior)
+                la = grid_solve(y_[idx], mu_[idx], prior_mean_arr[idx])
                 new = jnp.where(need[idx], jnp.exp(la), disp_cur[idx])
                 return disp_cur.at[idx].set(new)
 
