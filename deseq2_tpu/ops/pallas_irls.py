@@ -1,0 +1,324 @@
+"""Pallas TPU kernel: fused ridge-IRLS NB GLM solve (fitBeta contract).
+
+The XLA path (`ops/irls.py:_fit_beta_core`) streams the (G,S) count and
+normalization matrices from HBM on every IRLS sweep, and its per-gene
+p x p solves go through XLA's batched Cholesky/TriangularSolve, which
+lower poorly for tiny matrices on TPU.  This kernel keeps a gene block
+VMEM-resident for the WHOLE solve (y/nf read from HBM once), runs the
+p x p ridge solve as unrolled element-wise Cholesky on (BG,1) columns
+(p = 2-8 is static), and exits per block as soon as all of its genes
+converge.
+
+Math and update/convergence rules are identical to ops/irls.py
+(reference: src/DESeq2.cpp:282-465):
+
+    mu    = nf * exp(X beta)           clamped at minmu  (cpp:324-327,361-364)
+    W     = mu / (1 + alpha mu)                          (cpp:337-341)
+    z     = log(mu/nf) + (y - mu)/mu                     (cpp:349,397)
+    A     = X'WX + diag(ridge); beta <- A^-1 X'Wz        (cpp:397-398)
+    dev   = -2 sum dnbinom_mu(y; 1/alpha, mu)            (cpp:365-373)
+    stop when |dev - dev_old| / (|dev| + 0.1) < tol      (cpp:374-381)
+    |beta| > 30 -> iter := maxit                         (cpp:357-359)
+
+plus the f32-only beta-stall early exit from ops/irls.py.  Post-fit
+quantities (hat diagonals cpp:437-450, sandwich sigma cpp:452, beta_var)
+are computed in-kernel from the final (beta, mu).
+
+lgamma for the mu-independent deviance constant is the Lanczos
+approximation shared with ops/pallas_disp.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_disp import _lgamma_pos
+from .pallas_ls import _anchored_full, _chol_logdet_inv
+
+__all__ = ["fit_beta_pallas", "pallas_irls_supported"]
+
+_LANE = 128
+LARGE_BETA = 30.0
+
+
+def _chol_solve_cols(a_cols, rhs_cols, p):
+    """Solve A x = rhs for (BG,1)-column SPD A (row-major p*p columns)."""
+    L = [[None] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(i + 1):
+            s = a_cols[i * p + j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward solve L w = rhs
+    wv = [None] * p
+    for i in range(p):
+        s = rhs_cols[i]
+        for k in range(i):
+            s = s - L[i][k] * wv[k]
+        wv[i] = s / L[i][i]
+    # back solve L^T x = w
+    xv = [None] * p
+    for i in range(p - 1, -1, -1):
+        s = wv[i]
+        for k in range(i + 1, p):
+            s = s - L[k][i] * xv[k]
+        xv[i] = s / L[i][i]
+    return xv
+
+
+def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
+                 ridge_ref, scal_ref, beta_ref, bvar_ref, dev_ref, it_ref,
+                 mu_ref, hat_ref, mu_scr, *, p, maxit, nf_row):
+    y = y_ref[:]                      # (BG, Sp)
+    nf = nf_ref[:]                    # (BG, Sp) or (1, Sp)
+    alpha = alpha_ref[:]              # (BG, 1)
+    xx = xx_ref[:]                    # (Sp, p*p); padded rows zero
+    xT = xT_ref[:]                    # (p, Sp)
+    xxT = xxT_ref[:]                  # (p*p, Sp)
+    s_valid = scal_ref[0]
+    tol = scal_ref[1]
+    min_mu = scal_ref[2]
+
+    BG, Sp = y.shape
+    dtype = y.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (BG, Sp), 1)
+    fvalid = (col < s_valid.astype(jnp.int32)).astype(dtype)
+    n_valid = s_valid.astype(dtype)
+
+    size = 1.0 / alpha                # (BG,1)
+    log_nf = jnp.log(nf)
+    # mu-independent deviance part: -2 * sum_s [lgamma(y+sz) - lgamma(sz)
+    #   - lgamma(y+1) + sz*log(sz)]; gene-constant terms hoisted
+    dev_const = -2.0 * (
+        jnp.sum(fvalid * (_lgamma_pos(y + size) - _lgamma_pos(y + 1.0)),
+                axis=1, keepdims=True)
+        + n_valid * (size * jnp.log(size) - _lgamma_pos(size)))
+
+    beta0 = [b0_ref[:, k:k + 1] for k in range(p)]
+    ridge = [ridge_ref[k] for k in range(p)]
+
+    def compute_xb(beta_cols):
+        xb = beta_cols[0] * xT[0:1, :]
+        for k in range(1, p):
+            xb = xb + beta_cols[k] * xT[k:k + 1, :]
+        return xb
+
+    def compute_mu(beta_cols):
+        return jnp.maximum(nf * jnp.exp(compute_xb(beta_cols)), min_mu)
+
+    def deviance(mu):
+        t = jnp.where(y > 0.0, y * (jnp.log(mu) - jnp.log(size + mu)), 0.0)
+        core = -size * jnp.log(size + mu) + t
+        return dev_const - 2.0 * jnp.sum(fvalid * core, axis=1, keepdims=True)
+
+    mu_scr[:] = compute_mu(beta0)
+
+    eps = jnp.finfo(dtype).eps
+    tol = jnp.maximum(tol, 30.0 * eps)
+
+    zero = _anchored_full(dev_const, 0.0, dtype)
+    state = (jnp.asarray(0, jnp.int32), tuple(beta0), zero,
+             _anchored_full(dev_const, 0, jnp.int32),
+             _anchored_full(dev_const, True, jnp.bool_), zero)
+
+    def cond(state):
+        t, active = state[0], state[4]
+        return (t < maxit) & jnp.any(active)
+
+    def body(state):
+        t, beta, dev_old, iters, active, dev = state
+        iters = iters + active.astype(jnp.int32)
+        mu = mu_scr[:]
+        w = mu / (1.0 + alpha * mu)
+        z = jnp.log(mu) - log_nf + (y - mu) / mu
+        a_flat = jnp.dot(w, xx, preferred_element_type=dtype)   # (BG,p*p)
+        a_cols = [a_flat[:, k:k + 1] for k in range(p * p)]
+        for k in range(p):
+            a_cols[k * p + k] = a_cols[k * p + k] + ridge[k]
+        rhs = jnp.dot(w * z, xT.T, preferred_element_type=dtype)  # (BG,p)
+        rhs_cols = [rhs[:, k:k + 1] for k in range(p)]
+        beta_new = _chol_solve_cols(a_cols, rhs_cols, p)
+        absmax = jnp.abs(beta_new[0])
+        for k in range(1, p):
+            absmax = jnp.maximum(absmax, jnp.abs(beta_new[k]))
+        diverged = absmax > LARGE_BETA
+        beta_out = tuple(jnp.where(active, bn, b)
+                         for bn, b in zip(beta_new, beta))
+        cont = active & ~diverged
+        mu_new = compute_mu(beta_new)
+        mu_scr[:] = jnp.where(cont, mu_new, mu)
+        dev_new = deviance(mu_new)
+        dev = jnp.where(cont, dev_new, dev)
+        conv_test = jnp.abs(dev_new - dev_old) / (jnp.abs(dev_new) + 0.1)
+        bad = jnp.isnan(conv_test)
+        converged = (t > 0) & (conv_test < tol)
+        if eps > 1e-10:  # f32-only beta-stall exit (ops/irls.py rule)
+            dbeta = jnp.abs(beta_new[0] - beta[0])
+            bmax = jnp.abs(beta_new[0])
+            for k in range(1, p):
+                dbeta = jnp.maximum(dbeta, jnp.abs(beta_new[k] - beta[k]))
+                bmax = jnp.maximum(bmax, jnp.abs(beta_new[k]))
+            converged = converged | ((t > 0) & (dbeta < 32.0 * eps *
+                                                (1.0 + bmax)))
+        iters = jnp.where(active & (diverged | (bad & ~diverged)),
+                          maxit, iters)
+        active = cont & ~bad & ~converged
+        dev_old = jnp.where(cont, dev_new, dev_old)
+        return (t + 1, beta_out, dev_old, iters, active, dev)
+
+    state = jax.lax.while_loop(cond, body, state)
+    _, beta, _, iters, _, dev = state
+
+    # ---- post-fit from final (beta, mu) (cpp:429-455) ----
+    mu = mu_scr[:]
+    w = mu / (1.0 + alpha * mu)
+    xtwx_flat = jnp.dot(w, xx, preferred_element_type=dtype)  # (BG,p*p)
+    a_cols = [xtwx_flat[:, k:k + 1] for k in range(p * p)]
+    for k in range(p):
+        a_cols[k * p + k] = a_cols[k * p + k] + ridge[k]
+    _, ainv = _chol_logdet_inv(a_cols, p)
+    # sigma = Ainv XtWX Ainv (unrolled p x p products on columns)
+    xtwx_cols = [xtwx_flat[:, k:k + 1] for k in range(p * p)]
+    tmp = [None] * (p * p)  # Ainv @ XtWX
+    for i in range(p):
+        for j in range(p):
+            s = 0.0
+            for k in range(p):
+                s = s + ainv[i * p + k] * xtwx_cols[k * p + j]
+            tmp[i * p + j] = s
+    for k in range(p):
+        s = 0.0
+        for m in range(p):
+            s = s + tmp[k * p + m] * ainv[m * p + k]
+        bvar_ref[:, k:k + 1] = s
+        beta_ref[:, k:k + 1] = beta[k]
+    # hat_jj = w_j * x_j' Ainv x_j = w * sum_kl Ainv_kl (x_k x_l)_j
+    q = ainv[0] * xxT[0:1, :]
+    for k in range(1, p * p):
+        q = q + ainv[k] * xxT[k:k + 1, :]
+    hat_ref[:] = w * q
+    mu_ref[:] = mu
+    dev_ref[:] = dev
+    it_ref[:] = iters
+
+
+def pallas_irls_supported(S, p, dtype, use_weights=False,
+                          vmem_budget=10 * 1024 * 1024):
+    """Whether the Pallas IRLS kernel applies to this problem shape."""
+    if use_weights or p > 8 or dtype == jnp.float64:
+        return False
+    Sp = -(-S // _LANE) * _LANE
+    return _block_g(Sp, jnp.dtype(dtype).itemsize, vmem_budget) >= 64
+
+
+def _block_g(Sp, itemsize, vmem_budget=10 * 1024 * 1024):
+    bg = 512
+    while bg >= 64 and 8 * bg * Sp * itemsize > vmem_budget:
+        bg //= 2
+    return bg
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
+def fit_beta_pallas(y, x, nf, alpha, beta_init, ridge, tol=1e-8, maxit=100,
+                    min_mu=0.5, interpret=False):
+    """Batched fitBeta as a single fused Pallas kernel.
+
+    Same contract as ops/irls.py:_fit_beta_core minus contrast support
+    (the fused pipeline's default path never passes one): returns
+    dict(beta, beta_var, iter, hat_diag, deviance, mu).
+
+    nf may be (G,S) or (S,) — a shared per-sample normalization row
+    (the common size-factors-only case) skips one (G,S) HBM stream.
+    """
+    G, S = y.shape
+    p = x.shape[1]
+    dtype = beta_init.dtype
+    y = y.astype(dtype)
+    x = x.astype(dtype)
+    nf_row = nf.ndim == 1
+
+    Sp = -(-S // _LANE) * _LANE
+    bg = _block_g(Sp, jnp.dtype(dtype).itemsize)
+    Gp = -(-G // bg) * bg
+    y_p = jnp.pad(y, ((0, Gp - G), (0, Sp - S)))
+    if nf_row:
+        nf_p = jnp.pad(nf.astype(dtype)[None, :], ((0, 0), (0, Sp - S)),
+                       constant_values=1.0)
+    else:
+        nf_p = jnp.pad(nf.astype(dtype), ((0, Gp - G), (0, Sp - S)),
+                       constant_values=1.0)
+    alpha_p = jnp.pad(alpha.astype(dtype)[:, None], ((0, Gp - G), (0, 0)),
+                      constant_values=1.0)
+    b0_p = jnp.pad(beta_init.astype(dtype), ((0, Gp - G), (0, 0)))
+    xx = (x[:, :, None] * x[:, None, :]).reshape(S, p * p)
+    xx_p = jnp.pad(xx, ((0, Sp - S), (0, 0)))
+    xT_p = jnp.pad(x.T, ((0, 0), (0, Sp - S)))
+    xxT_p = xx_p.T
+
+    scal = jnp.stack([jnp.asarray(S, dtype), jnp.asarray(tol, dtype),
+                      jnp.asarray(min_mu, dtype)])
+    ridge_v = ridge.astype(dtype)
+
+    kernel = functools.partial(_irls_kernel, p=p, maxit=maxit,
+                               nf_row=nf_row)
+    nf_spec = (pl.BlockSpec((1, Sp), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM) if nf_row else
+               pl.BlockSpec((bg, Sp), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM))
+    beta_o, bvar_o, dev_o, it_o, mu_o, hat_o = pl.pallas_call(
+        kernel,
+        grid=(Gp // bg,),
+        in_specs=[
+            pl.BlockSpec((bg, Sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            nf_spec,
+            pl.BlockSpec((bg, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sp, p * p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, Sp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p * p, Sp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, Sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, Sp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Gp, p), dtype),
+            jax.ShapeDtypeStruct((Gp, p), dtype),
+            jax.ShapeDtypeStruct((Gp, 1), dtype),
+            jax.ShapeDtypeStruct((Gp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Gp, Sp), dtype),
+            jax.ShapeDtypeStruct((Gp, Sp), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((bg, Sp), dtype)],
+        interpret=interpret,
+    )(y_p, nf_p, alpha_p, b0_p, xx_p, xT_p, xxT_p, ridge_v, scal)
+    return dict(beta=beta_o[:G], beta_var=bvar_o[:G],
+                deviance=dev_o[:G, 0], iter=it_o[:G, 0],
+                mu=mu_o[:G, :S], hat_diag=hat_o[:G, :S])
