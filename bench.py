@@ -1,10 +1,14 @@
 """Headline benchmark: genes/sec for the full DESeq Wald pipeline.
 
-Runs the fused on-device pipeline (size-factor-normalized counts ->
-gene-wise dispersion MLE -> parametric trend -> MAP shrinkage -> ridge
-IRLS -> Wald statistics; deseq2_tpu/parallel/fused.py) on the default
-bulk configuration from BASELINE.json: 60k genes x 128 samples,
-~condition design.
+Runs the fused pipeline (size-factor-normalized counts -> gene-wise
+dispersion MLE -> parametric trend -> MAP shrinkage -> ridge IRLS ->
+Wald statistics -> Cook's distances -> count-outlier replacement +
+refit -> Cook's p masking -> independent filtering + BH;
+deseq2_tpu/parallel/fused.py:fused_results — the deseq()+results()
+equivalent, proven column-identical to the host-exact path by
+tests/test_fused_exact.py) on the default bulk configuration from
+BASELINE.json: 60k genes x 128 samples, ~condition design
+(BENCH_SAMPLES=1024 for the 60k x 1k config).
 
 Baseline: the reference (thelovelab/DESeq2) publishes no formal
 throughput benchmark; its vignette claims "less than 30 seconds for most
@@ -50,27 +54,28 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from deseq2_tpu.parallel.fused import fused_wald_pipeline
+    from deseq2_tpu.parallel.fused import fused_results
 
     counts, x, sf, grid = make_inputs(G, S)
-    dev_args = (jnp.asarray(counts), jnp.asarray(x, jnp.float32),
-                jnp.asarray(sf, jnp.float32), jnp.asarray(grid, jnp.float32))
+    counts = jnp.asarray(counts)  # upload once; steady-state = on-device
 
     def run_sync():
-        # synchronize by fetching a small result array: on the axon
-        # tunnel platform block_until_ready returns before execution
-        # completes, so a host fetch is the only reliable barrier
-        out = fused_wald_pipeline(*dev_args)
-        return np.asarray(out["stat"])
+        # fused_results fetches padj to host (the filtering tail), which
+        # is the synchronization barrier: on the axon tunnel platform
+        # block_until_ready returns before execution completes, so a
+        # host fetch is the only reliable barrier
+        res = fused_results(counts, x, sf, two_group=True)
+        return res["stat"], res["padj"]
 
     run_sync()  # warmup (compile)
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        stat = run_sync()
+        stat, padj = run_sync()
     dt = (time.perf_counter() - t0) / reps
     assert np.isfinite(stat).mean() > 0.95
+    assert np.isfinite(padj).mean() > 0.5
 
     genes_per_sec = G / dt
     print(json.dumps({

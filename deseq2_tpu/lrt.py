@@ -104,6 +104,9 @@ def nbinom_lrt(dds, full=None, reduced=None, beta_tol=1e-8, maxit=100,
     H = full_model["hat_diagonals"]
     disp_model_matrix = model_matrix
     dds.attrs["dispModelMatrix"] = disp_model_matrix
+    # obj_nz still carries the gene-est mu here: the reference stores
+    # fullModel$mu only after Cook's in nbinomLRT (R/core.R:1888 vs 1959),
+    # unlike nbinomWaldTest — keep that quirk for parity
     cooks = calculate_cooks_distance(obj_nz, H, disp_model_matrix)
     max_cooks = record_max_cooks(disp_model_matrix, cooks, obj_nz.n_genes)
     dds.assays["H"] = _na_pad_matrix(H, nz)

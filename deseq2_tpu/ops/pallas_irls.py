@@ -78,73 +78,104 @@ def _chol_solve_cols(a_cols, rhs_cols, p):
 def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
                  ridge_ref, scal_ref, beta_ref, bvar_ref, dev_ref, it_ref,
                  mu_ref, hat_ref, mu_scr, *, p, maxit, nf_row):
-    y = y_ref[:]                      # (BG, Sp)
-    nf = nf_ref[:]                    # (BG, Sp) or (1, Sp)
     alpha = alpha_ref[:]              # (BG, 1)
-    xx = xx_ref[:]                    # (Sp, p*p); padded rows zero
-    xT = xT_ref[:]                    # (p, Sp)
-    xxT = xxT_ref[:]                  # (p*p, Sp)
     s_valid = scal_ref[0]
     tol = scal_ref[1]
     min_mu = scal_ref[2]
 
-    BG, Sp = y.shape
-    dtype = y.dtype
-    col = jax.lax.broadcasted_iota(jnp.int32, (BG, Sp), 1)
-    fvalid = (col < s_valid.astype(jnp.int32)).astype(dtype)
+    BG, Sp = y_ref.shape
+    dtype = y_ref.dtype
     n_valid = s_valid.astype(dtype)
+    n_chunks = Sp // _LANE
+
+    # The samples axis is consumed in lane-width chunks read straight
+    # from the VMEM refs, so the elementwise-temporary footprint is
+    # independent of S (same scheme as ops/pallas_ls.py).
+    def chunks():
+        for c in range(n_chunks):
+            sl = slice(c * _LANE, (c + 1) * _LANE)
+            col = jax.lax.broadcasted_iota(jnp.int32, (BG, _LANE), 1) \
+                + c * _LANE
+            fv = (col < s_valid.astype(jnp.int32)).astype(dtype)
+            yield sl, fv
+
+    def nf_chunk(sl):
+        return nf_ref[0:1, sl] if nf_row else nf_ref[:, sl]
 
     size = 1.0 / alpha                # (BG,1)
-    log_nf = jnp.log(nf)
     # mu-independent deviance part: -2 * sum_s [lgamma(y+sz) - lgamma(sz)
     #   - lgamma(y+1) + sz*log(sz)]; gene-constant terms hoisted
-    dev_const = -2.0 * (
-        jnp.sum(fvalid * (_lgamma_pos(y + size) - _lgamma_pos(y + 1.0)),
-                axis=1, keepdims=True)
-        + n_valid * (size * jnp.log(size) - _lgamma_pos(size)))
+    dev_const = -2.0 * n_valid * (size * jnp.log(size) - _lgamma_pos(size))
+    for sl, fv in chunks():
+        y = y_ref[:, sl]
+        dev_const = dev_const - 2.0 * jnp.sum(
+            fv * (_lgamma_pos(y + size) - _lgamma_pos(y + 1.0)),
+            axis=1, keepdims=True)
 
     beta0 = [b0_ref[:, k:k + 1] for k in range(p)]
     ridge = [ridge_ref[k] for k in range(p)]
 
-    def compute_xb(beta_cols):
-        xb = beta_cols[0] * xT[0:1, :]
-        for k in range(1, p):
-            xb = xb + beta_cols[k] * xT[k:k + 1, :]
-        return xb
+    def store_mu_and_dev(beta_cols, keep):
+        """mu_scr[g,:] <- max(nf exp(X beta), minmu) where keep[g], and the
+        deviance of the NEW mu (computed for every gene regardless of
+        keep, matching the XLA path)."""
+        dev = dev_const
+        for sl, fv in chunks():
+            y = y_ref[:, sl]
+            xb = beta_cols[0] * xT_ref[0:1, sl]
+            for k in range(1, p):
+                xb = xb + beta_cols[k] * xT_ref[k:k + 1, sl]
+            mu_new = jnp.maximum(nf_chunk(sl) * jnp.exp(xb), min_mu)
+            t = jnp.where(y > 0.0,
+                          y * (jnp.log(mu_new) - jnp.log(size + mu_new)),
+                          0.0)
+            dev = dev - 2.0 * jnp.sum(
+                fv * (-size * jnp.log(size + mu_new) + t),
+                axis=1, keepdims=True)
+            mu_scr[:, sl] = jnp.where(keep, mu_new, mu_scr[:, sl])
+        return dev
 
-    def compute_mu(beta_cols):
-        return jnp.maximum(nf * jnp.exp(compute_xb(beta_cols)), min_mu)
-
-    def deviance(mu):
-        t = jnp.where(y > 0.0, y * (jnp.log(mu) - jnp.log(size + mu)), 0.0)
-        core = -size * jnp.log(size + mu) + t
-        return dev_const - 2.0 * jnp.sum(fvalid * core, axis=1, keepdims=True)
-
-    mu_scr[:] = compute_mu(beta0)
+    # seed scratch mu from beta_init (keep=True everywhere)
+    ones_keep = alpha > -1.0
+    store_mu_and_dev(beta0, ones_keep)
 
     eps = jnp.finfo(dtype).eps
     tol = jnp.maximum(tol, 30.0 * eps)
 
+    def weighted_normal_eqs():
+        """(X'WX columns, X'Wz columns) accumulated over S-chunks."""
+        a_flat = rhs = None
+        for sl, fv in chunks():
+            y = y_ref[:, sl]
+            mu = mu_scr[:, sl]
+            w = fv * mu / (1.0 + alpha * mu)
+            z = jnp.log(mu) - jnp.log(nf_chunk(sl)) + (y - mu) / mu
+            a_c = jnp.dot(w, xx_ref[sl, :], preferred_element_type=dtype)
+            r_c = jnp.dot(w * z, xT_ref[:, sl].T,
+                          preferred_element_type=dtype)
+            a_flat = a_c if a_flat is None else a_flat + a_c   # (BG,p*p)
+            rhs = r_c if rhs is None else rhs + r_c            # (BG,p)
+        return a_flat, rhs
+
     zero = _anchored_full(dev_const, 0.0, dtype)
+    # active mask carried as 0/1 float: Mosaic cannot legalize bool (i1)
+    # vector carries in scf.while (scf.yield legalization failure)
     state = (jnp.asarray(0, jnp.int32), tuple(beta0), zero,
              _anchored_full(dev_const, 0, jnp.int32),
-             _anchored_full(dev_const, True, jnp.bool_), zero)
+             _anchored_full(dev_const, 1.0, dtype), zero)
 
     def cond(state):
-        t, active = state[0], state[4]
-        return (t < maxit) & jnp.any(active)
+        t, activef = state[0], state[4]
+        return (t < maxit) & (jnp.max(activef) > 0.5)
 
     def body(state):
-        t, beta, dev_old, iters, active, dev = state
+        t, beta, dev_old, iters, activef, dev = state
+        active = activef > 0.5
         iters = iters + active.astype(jnp.int32)
-        mu = mu_scr[:]
-        w = mu / (1.0 + alpha * mu)
-        z = jnp.log(mu) - log_nf + (y - mu) / mu
-        a_flat = jnp.dot(w, xx, preferred_element_type=dtype)   # (BG,p*p)
+        a_flat, rhs = weighted_normal_eqs()
         a_cols = [a_flat[:, k:k + 1] for k in range(p * p)]
         for k in range(p):
             a_cols[k * p + k] = a_cols[k * p + k] + ridge[k]
-        rhs = jnp.dot(w * z, xT.T, preferred_element_type=dtype)  # (BG,p)
         rhs_cols = [rhs[:, k:k + 1] for k in range(p)]
         beta_new = _chol_solve_cols(a_cols, rhs_cols, p)
         absmax = jnp.abs(beta_new[0])
@@ -154,9 +185,7 @@ def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
         beta_out = tuple(jnp.where(active, bn, b)
                          for bn, b in zip(beta_new, beta))
         cont = active & ~diverged
-        mu_new = compute_mu(beta_new)
-        mu_scr[:] = jnp.where(cont, mu_new, mu)
-        dev_new = deviance(mu_new)
+        dev_new = store_mu_and_dev(beta_new, cont)
         dev = jnp.where(cont, dev_new, dev)
         conv_test = jnp.abs(dev_new - dev_old) / (jnp.abs(dev_new) + 0.1)
         bad = jnp.isnan(conv_test)
@@ -171,17 +200,21 @@ def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
                                                 (1.0 + bmax)))
         iters = jnp.where(active & (diverged | (bad & ~diverged)),
                           maxit, iters)
-        active = cont & ~bad & ~converged
+        activef = (cont & ~bad & ~converged).astype(activef.dtype)
         dev_old = jnp.where(cont, dev_new, dev_old)
-        return (t + 1, beta_out, dev_old, iters, active, dev)
+        return (t + 1, beta_out, dev_old, iters, activef, dev)
 
     state = jax.lax.while_loop(cond, body, state)
     _, beta, _, iters, _, dev = state
 
     # ---- post-fit from final (beta, mu) (cpp:429-455) ----
-    mu = mu_scr[:]
-    w = mu / (1.0 + alpha * mu)
-    xtwx_flat = jnp.dot(w, xx, preferred_element_type=dtype)  # (BG,p*p)
+    # pass 1: accumulate X'WX over chunks
+    xtwx_flat = None
+    for sl, fv in chunks():
+        mu = mu_scr[:, sl]
+        w = fv * mu / (1.0 + alpha * mu)
+        c = jnp.dot(w, xx_ref[sl, :], preferred_element_type=dtype)
+        xtwx_flat = c if xtwx_flat is None else xtwx_flat + c
     a_cols = [xtwx_flat[:, k:k + 1] for k in range(p * p)]
     for k in range(p):
         a_cols[k * p + k] = a_cols[k * p + k] + ridge[k]
@@ -201,28 +234,42 @@ def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
             s = s + tmp[k * p + m] * ainv[m * p + k]
         bvar_ref[:, k:k + 1] = s
         beta_ref[:, k:k + 1] = beta[k]
-    # hat_jj = w_j * x_j' Ainv x_j = w * sum_kl Ainv_kl (x_k x_l)_j
-    q = ainv[0] * xxT[0:1, :]
-    for k in range(1, p * p):
-        q = q + ainv[k] * xxT[k:k + 1, :]
-    hat_ref[:] = w * q
-    mu_ref[:] = mu
+    # pass 2: hat_jj = w_j * x_j' Ainv x_j = w * sum_kl Ainv_kl (x_k x_l)_j
+    for sl, fv in chunks():
+        mu = mu_scr[:, sl]
+        w = mu / (1.0 + alpha * mu)
+        q = ainv[0] * xxT_ref[0:1, sl]
+        for k in range(1, p * p):
+            q = q + ainv[k] * xxT_ref[k:k + 1, sl]
+        hat_ref[:, sl] = w * q
+        mu_ref[:, sl] = mu
     dev_ref[:] = dev
     it_ref[:] = iters
 
 
+_MAX_CHUNKS = 16  # unrolled S-chunks per sweep: caps compile size
+
+
 def pallas_irls_supported(S, p, dtype, use_weights=False,
-                          vmem_budget=10 * 1024 * 1024):
+                          vmem_budget=12 * 1024 * 1024):
     """Whether the Pallas IRLS kernel applies to this problem shape."""
     if use_weights or p > 8 or dtype == jnp.float64:
         return False
     Sp = -(-S // _LANE) * _LANE
+    if Sp // _LANE > _MAX_CHUNKS:
+        return False
     return _block_g(Sp, jnp.dtype(dtype).itemsize, vmem_budget) >= 64
 
 
-def _block_g(Sp, itemsize, vmem_budget=10 * 1024 * 1024):
+def _block_g(Sp, itemsize, vmem_budget=12 * 1024 * 1024):
+    """Largest power-of-two gene block fitting scoped VMEM.
+
+    Per-gene bytes ~ 50 lane-width elementwise temporaries (live per
+    S-chunk only) + double-buffered y input and mu/hat output blocks
+    (3 arrays x 2) + the resident mu scratch + slack for nf."""
+    per_gene = (50 * _LANE + 9 * Sp) * itemsize
     bg = 512
-    while bg >= 64 and 8 * bg * Sp * itemsize > vmem_budget:
+    while bg >= 64 and bg * per_gene > vmem_budget:
         bg //= 2
     return bg
 

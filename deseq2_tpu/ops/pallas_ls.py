@@ -121,9 +121,6 @@ def _chol_logdet_inv(b_cols, p):
 
 def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
                outf_ref, outi_ref, *, p, maxit, use_prior, use_cr):
-    y = y_ref[:]            # (BG, Sp)
-    mu = mu_ref[:]          # (BG, Sp)
-    xx = xx_ref[:]          # (Sp, p*p); padded rows zero
     a0 = la0_ref[:]         # (BG, 1)
     pm = pm_ref[:]          # (BG, 1)
     s_valid = scal_ref[0]
@@ -132,38 +129,53 @@ def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
     tol = scal_ref[3]
     min_la = scal_ref[4]
 
-    BG, Sp = y.shape
-    dtype = y.dtype
-    col = jax.lax.broadcasted_iota(jnp.int32, (BG, Sp), 1)
-    fvalid = (col < s_valid.astype(jnp.int32)).astype(dtype)
+    BG, Sp = y_ref.shape
+    dtype = y_ref.dtype
     n_valid = s_valid.astype(dtype)
+    n_chunks = Sp // _LANE
 
     def lp_dlp(la):
-        """Fused log-posterior + derivative at la ((BG,1) -> two (BG,1))."""
+        """Fused log-posterior + derivative at la ((BG,1) -> two (BG,1)).
+
+        The samples axis is consumed in lane-width chunks read straight
+        from the VMEM refs: the ~45 elementwise temporaries (Lanczos
+        lgamma, digamma recurrence, logs) are live per chunk only, so the
+        kernel's scoped-VMEM footprint is independent of S.
+        """
         alpha = jnp.exp(la)
         inv_a = 1.0 / alpha
-        mu_inv_a = mu + inv_a
-        log_mu_inv_a = jnp.log(mu_inv_a)
-        mua = mu * alpha
-        log1p_mua = jnp.log1p(mua)
-        lgam_y = _lgamma_pos(y + inv_a)          # (BG,Sp)
-        digam_y = digamma_pos(y + inv_a)         # (BG,Sp)
-        # lp log-lik (cpp:52-56), gene-constant terms hoisted from the sum
-        ll = (jnp.sum(fvalid * (lgam_y - y * log_mu_inv_a
-                                - inv_a * log1p_mua),
-                      axis=1, keepdims=True)
-              - n_valid * _lgamma_pos(inv_a))
-        # dlp sum (cpp:93-97): digamma(inv_a) hoisted
-        s1 = (jnp.sum(fvalid * (log1p_mua - mua / (1.0 + mua)
-                                + y / mu_inv_a - digam_y),
-                      axis=1, keepdims=True)
-              + n_valid * digamma_pos(inv_a))
+        # gene-constant terms hoisted from the S-sums (cpp:52-56,93-97)
+        ll = -n_valid * _lgamma_pos(inv_a)
+        s1 = n_valid * digamma_pos(inv_a)
+        b = db = None
+        for c in range(n_chunks):
+            sl = slice(c * _LANE, (c + 1) * _LANE)
+            y = y_ref[:, sl]                     # (BG, LANE)
+            mu = mu_ref[:, sl]
+            col = jax.lax.broadcasted_iota(jnp.int32, (BG, _LANE), 1) \
+                + c * _LANE
+            fvalid = (col < s_valid.astype(jnp.int32)).astype(dtype)
+            mu_inv_a = mu + inv_a
+            mua = mu * alpha
+            log1p_mua = jnp.log1p(mua)
+            ll = ll + jnp.sum(
+                fvalid * (_lgamma_pos(y + inv_a) - y * jnp.log(mu_inv_a)
+                          - inv_a * log1p_mua),
+                axis=1, keepdims=True)
+            s1 = s1 + jnp.sum(
+                fvalid * (log1p_mua - mua / (1.0 + mua)
+                          + y / mu_inv_a - digamma_pos(y + inv_a)),
+                axis=1, keepdims=True)
+            if use_cr:
+                w = 1.0 / (1.0 / mu + alpha)   # padded cols: xx row is 0
+                xx_c = xx_ref[sl, :]
+                b_c = jnp.dot(w, xx_c, preferred_element_type=dtype)
+                db_c = jnp.dot(-w * w, xx_c, preferred_element_type=dtype)
+                b = b_c if b is None else b + b_c            # (BG,p*p)
+                db = db_c if db is None else db + db_c
         lp = ll
         dlp = s1 / (alpha * alpha)
         if use_cr:
-            w = 1.0 / (1.0 / mu + alpha)   # padded cols: xx row is 0
-            b = jnp.dot(w, xx, preferred_element_type=dtype)        # (BG,p*p)
-            db = jnp.dot(-w * w, xx, preferred_element_type=dtype)  # (BG,p*p)
             b_cols = [b[:, k:k + 1] for k in range(p * p)]
             logdet, binv = _chol_logdet_inv(b_cols, p)
             lp = lp - 0.5 * logdet
@@ -182,18 +194,21 @@ def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
     tol_eff = jnp.maximum(tol, jnp.abs(lp0) * 50.0 * eps32)
 
     zero_i = _anchored_full(lp0, 0, jnp.int32)
+    # done mask carried as 0/1 float: Mosaic cannot legalize bool (i1)
+    # vector carries in scf.while (scf.yield legalization failure)
     state = (jnp.asarray(0, jnp.int32), a0,
              _anchored_full(lp0, 0.0, dtype) + kappa_0,
              lp0, dlp0, zero_i, zero_i,
              _anchored_full(lp0, -1.0, dtype),
-             _anchored_full(lp0, False, jnp.bool_))
+             _anchored_full(lp0, 0.0, dtype))
 
     def cond(state):
-        t, done = state[0], state[8]
-        return (t < maxit) & jnp.any(~done)
+        t, donef = state[0], state[8]
+        return (t < maxit) & (jnp.max(1.0 - donef) > 0.5)
 
     def body(state):
-        (t, a, kappa, lp, dlp, iters, iter_accept, change, done) = state
+        (t, a, kappa, lp, dlp, iters, iter_accept, change, donef) = state
+        done = donef > 0.5
         live = ~done
         iters = iters + live.astype(jnp.int32)
         a_propose = a + kappa * dlp
@@ -226,8 +241,8 @@ def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
         kap_acc = jnp.where(iter_accept % 5 == 0, kap_acc / 2.0, kap_acc)
         kappa = jnp.where(cont_accept, kap_acc,
                           jnp.where(live & ~accept, kappa / 2.0, kappa))
-        done = done | newly_done
-        return (t + 1, a, kappa, lp, dlp, iters, iter_accept, change, done)
+        donef = jnp.maximum(donef, newly_done.astype(donef.dtype))
+        return (t + 1, a, kappa, lp, dlp, iters, iter_accept, change, donef)
 
     state = jax.lax.while_loop(cond, body, state)
     (_, a, _, lp, dlp, iters, iter_accept, change, _) = state
@@ -242,19 +257,28 @@ def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
     outi_ref[:, 1:2] = iter_accept
 
 
+_MAX_CHUNKS = 16  # unrolled S-chunks per lp/dlp eval: caps compile size
+
+
 def pallas_ls_supported(S, p, dtype, use_weights=False,
-                        vmem_budget=10 * 1024 * 1024):
+                        vmem_budget=12 * 1024 * 1024):
     """Whether the Pallas line-search kernel applies to this shape."""
     if use_weights or p > 8 or dtype == jnp.float64:
         return False
     Sp = -(-S // _LANE) * _LANE
+    if Sp // _LANE > _MAX_CHUNKS:
+        return False
     return _block_g(Sp, jnp.dtype(dtype).itemsize, vmem_budget) >= 64
 
 
-def _block_g(Sp, itemsize, vmem_budget=10 * 1024 * 1024):
-    """Largest power-of-two gene block with ~8 (BG,Sp) live arrays in VMEM."""
+def _block_g(Sp, itemsize, vmem_budget=12 * 1024 * 1024):
+    """Largest power-of-two gene block fitting scoped VMEM.
+
+    Per-gene bytes ~ 50 lane-width elementwise temporaries (live per
+    S-chunk only) + double-buffered y/mu input blocks (2 arrays x 2)."""
+    per_gene = (50 * _LANE + 4 * Sp) * itemsize
     bg = 1024
-    while bg >= 64 and 8 * bg * Sp * itemsize > vmem_budget:
+    while bg >= 64 and bg * per_gene > vmem_budget:
         bg //= 2
     return bg
 

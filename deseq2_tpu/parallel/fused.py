@@ -26,6 +26,8 @@ from jax.scipy.special import erfc, polygamma
 from ..ops.disp import (fit_disp_grid, fit_disp_line_search,
                         _fit_disp_grid_core, _fit_disp_line_search_core)
 from ..ops.pallas_disp import fit_disp_grid_pallas, pallas_grid_supported
+from ..ops.pallas_ls import fit_disp_line_search_pallas, pallas_ls_supported
+from ..ops.pallas_irls import fit_beta_pallas, pallas_irls_supported
 from ..ops.irls import _fit_beta_core
 from ..ops.linalg import chol_solve
 from ..ops.padding import compact_live_indices, straggler_capacity
@@ -34,20 +36,30 @@ LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 
 
-def _use_pallas_grid(S, p, dtype):
-    """Route the grid fallback through the Pallas kernel on TPU (f32).
-
-    env DESEQ2_TPU_PALLAS: auto (default; TPU + supported shape),
+def _pallas_enabled():
+    """env DESEQ2_TPU_PALLAS: auto (default; TPU + supported shape),
     0/false (always XLA), 1 (same as auto).  The XLA path stays the
-    f64 reference-parity implementation.
-    """
+    f64 reference-parity implementation."""
     import os
     flag = os.environ.get("DESEQ2_TPU_PALLAS", "auto").lower()
     if flag in ("0", "false", "off"):
         return False
-    if not pallas_grid_supported(S, p, dtype):
-        return False
     return jax.default_backend() not in ("cpu",)
+
+
+def _use_pallas_grid(S, p, dtype):
+    """Route the grid fallback through the Pallas kernel on TPU (f32)."""
+    return _pallas_enabled() and pallas_grid_supported(S, p, dtype)
+
+
+def _use_pallas_ls(S, p, dtype):
+    """Route the dispersion line search through the fused Pallas kernel."""
+    return _pallas_enabled() and pallas_ls_supported(S, p, dtype)
+
+
+def _use_pallas_irls(S, p, dtype):
+    """Route the NB GLM IRLS through the fused Pallas kernel."""
+    return _pallas_enabled() and pallas_irls_supported(S, p, dtype)
 
 
 def _ls_fitted(y, x):
@@ -64,51 +76,71 @@ def _gamma_trend_fit(means, disps, use_mask):
     """Parametric dispersion trend on device (reference
     parametricDispersionFit, R/core.R:2166-2189): gamma GLM with identity
     link disp ~ 1/mean, iterative outlier masking.  All sums over the
-    sharded genes axis become all-reduces."""
-    ones = jnp.ones_like(means)
-    inv_means = jnp.where(use_mask, 1.0 / means, 0.0)
-    X0 = ones
-    X1 = inv_means
+    sharded genes axis become all-reduces.
 
-    def inner_glm(coefs, good):
-        """Gamma-identity IRLS, fixed 25 iterations with masked weights."""
-        def body(i, state):
-            a, b = state
+    Matches the host parametric_dispersion_fit (R glm.fit semantics)
+    step for step: inner IRLS with weights 1/mu^2 and deviance-relative
+    convergence (eps=1e-8, maxit=25); outer loop re-masks residuals in
+    (1e-4, 15) and stops when sum(log(coefs/old)^2) < 1e-6 with the
+    inner fit converged, or after 10 rounds.  (The host path *raises*
+    on non-positive mu/coefs and falls back to a local fit; the fused
+    pipeline has no local fallback so it stops at the last iterate.)"""
+    dtype = means.dtype
+    X1 = jnp.where(use_mask, 1.0 / means, 0.0)
+    yv = jnp.where(use_mask, disps, 1.0)   # masked rows: benign, w=0
+
+    def gamma_dev(a, b, good):
+        mu = a + b * X1
+        t = jnp.where(good, (yv - mu) / mu - jnp.log(yv / jnp.abs(mu)), 0.0)
+        return 2.0 * jnp.sum(t)
+
+    def inner_glm(a0, b0, good):
+        """Gamma-identity IRLS with deviance convergence (maxit 25)."""
+        dev0 = gamma_dev(a0, b0, good)
+
+        def cond(s):
+            return (s[0] < 25) & ~s[4]
+
+        def body(s):
+            it, a, b, dev_old, _ = s
             mu = a + b * X1
-            mu = jnp.maximum(mu, 1e-30)
             w = jnp.where(good, 1.0 / mu ** 2, 0.0)
-            s00 = jnp.sum(w * X0 * X0)
-            s01 = jnp.sum(w * X0 * X1)
+            s00 = jnp.sum(w)
+            s01 = jnp.sum(w * X1)
             s11 = jnp.sum(w * X1 * X1)
-            r0 = jnp.sum(w * X0 * disps)
-            r1 = jnp.sum(w * X1 * disps)
+            r0 = jnp.sum(w * yv)
+            r1 = jnp.sum(w * X1 * yv)
             det = s00 * s11 - s01 * s01
             a_new = (s11 * r0 - s01 * r1) / det
             b_new = (s00 * r1 - s01 * r0) / det
-            return a_new, b_new
+            dev = gamma_dev(a_new, b_new, good)
+            conv = jnp.abs(dev - dev_old) / (jnp.abs(dev) + 0.1) < 1e-8
+            return it + 1, a_new, b_new, dev, conv
 
-        return jax.lax.fori_loop(0, 25, body, (coefs[0], coefs[1]))
+        _, a, b, _, conv = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), a0, b0, dev0,
+                         jnp.asarray(False)))
+        return a, b, conv
 
     def outer_body(state):
-        coefs, _, it, _ = state
-        mu = coefs[0] + coefs[1] * X1
-        resid = jnp.where(use_mask, disps / jnp.maximum(mu, 1e-30), 0.0)
+        a, b, it, _ = state
+        mu = a + b * X1
+        resid = jnp.where(use_mask, disps / mu, 0.0)
         good = use_mask & (resid > 1e-4) & (resid < 15.0)
-        a_new, b_new = inner_glm(coefs, good)
-        new = jnp.stack([a_new, b_new])
-        delta = jnp.sum(jnp.log(jnp.abs(new) / jnp.abs(coefs)) ** 2)
-        done = (delta < 1e-6) | (it >= 10)
+        a_new, b_new, conv = inner_glm(a, b, good)
+        delta = (jnp.log(jnp.abs(a_new / a)) ** 2
+                 + jnp.log(jnp.abs(b_new / b)) ** 2)
+        done = ((delta < 1e-6) & conv) | (it >= 10)
         ok = (a_new > 0) & (b_new > 0)
-        return new, coefs, it + 1, done | ~ok
+        return a_new, b_new, it + 1, done | ~ok
 
     def outer_cond(state):
         return ~state[3]
 
-    init = (jnp.array([0.1, 1.0], dtype=means.dtype),
-            jnp.array([0.1, 1.0], dtype=means.dtype),
-            jnp.array(0, jnp.int32), jnp.array(False))
-    coefs, _, _, _ = jax.lax.while_loop(outer_cond, outer_body, init)
-    return coefs  # (asymptDisp, extraPois)
+    init = (jnp.asarray(0.1, dtype), jnp.asarray(1.0, dtype),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    a, b, _, _ = jax.lax.while_loop(outer_cond, outer_body, init)
+    return jnp.stack([a, b])  # (asymptDisp, extraPois)
 
 
 def _masked_median(v, mask):
@@ -132,9 +164,11 @@ def _bh_adjust(p, valid):
     return jnp.where(valid, out, jnp.nan)
 
 
-@partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "mesh"))
+@partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "mesh", "cells",
+                                   "two_group", "min_replicates", "alpha"))
 def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
-                        min_disp_pow=-8, mesh=None):
+                        min_disp_pow=-8, mesh=None, cells=None,
+                        two_group=False, min_replicates=7, alpha=0.1):
     """counts: (G,S) int; x: (S,p); size_factors: (S,); grid: (20,) log
     alpha grid.  Returns per-gene results dict (log2 scale LFC/SE/stat/p,
     plus dispersions and diagnostics).
@@ -146,8 +180,17 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     collectives inside the solver loops (GSPMD cannot partition the
     gather/scatter compaction pattern, and lockstep trip counts would
     be the max over all shards anyway).  The cross-gene reductions
-    (trend fit, MAD, prior variance, BH) stay in the auto-sharded outer
-    program where XLA inserts the all-reduces."""
+    (trend fit, MAD, prior variance, BH, filtering quantiles) stay in
+    the auto-sharded outer program where XLA inserts the all-reduces.
+
+    With `cells` (static tuple of per-sample design-cell codes) the
+    pipeline also computes Cook's distances, maxCooks, the count-outlier
+    replacement + refit (reference refitWithoutOutliers,
+    R/core.R:2484-2563) when any cell has >= min_replicates replicates,
+    Cook's p-value masking with the two-group heuristic
+    (R/results.R:520-565), and the independent-filtering theta grid
+    (R/results.R:638-718; final lowess cutoff choice is 50 scalars and
+    stays on host — see fused_results)."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     G, S = counts.shape
     p = x.shape[1]
@@ -175,169 +218,383 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     y = counts.astype(dtype)
     sf = size_factors.astype(dtype)
     x = x.astype(dtype)
-    nf = jnp.broadcast_to(sf[None, :], (G, S))
-    norm_counts = y / sf[None, :]
-
-    base_mean = norm_counts.mean(axis=1)
-    base_var = norm_counts.var(axis=1, ddof=1)
-    all_zero = jnp.sum(y, axis=1) == 0
-
-    # ---- gene-wise dispersion init (R/core.R:709-728) --------------------
-    mu_ls = jnp.maximum(_ls_fitted(norm_counts, x), 1.0)
-    rough = jnp.maximum(jnp.sum(((norm_counts - mu_ls) ** 2 - mu_ls)
-                                / mu_ls ** 2, axis=1) / (S - p), 0.0)
     xim = jnp.mean(1.0 / sf)
-    moments = (base_var - xim * base_mean) / base_mean ** 2
-    alpha_init = jnp.minimum(rough, jnp.where(all_zero, rough, moments))
-    alpha_init = jnp.clip(jnp.where(jnp.isnan(alpha_init), min_disp,
-                                    alpha_init), min_disp, max_disp)
 
-    # mu for dispersion fitting: LS projection * nf (linearMu fast path,
-    # exact for group-like designs; R/core.R:754-764)
-    mu_disp = jnp.maximum(_ls_fitted(norm_counts, x) * sf[None, :], min_mu)
-    y_safe = jnp.where(all_zero[:, None], 1.0, y)
-    mu_safe = jnp.where(all_zero[:, None], 1.0, mu_disp)
-
-    # ---- gene-wise MLE line search (R/core.R:770-848) ---------------------
     import math
     min_la = math.log(min_disp / 10.0)
-    la0 = jnp.log(alpha_init)
+    use_ls_pallas = _use_pallas_ls(S, p, dtype)
+    use_irls_pallas = _use_pallas_irls(S, p, dtype)
+    lam_nat = jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)
 
-    def _mle_fn(y_, mu_, la_, x_):
-        return _fit_disp_line_search_core(y_, x_, mu_, la_, la_, 1.0,
-                                          min_la, maxit=maxit,
-                                          use_prior=False)
+    # ======== per-gene chains (shard-local: no collectives inside) ========
 
-    mle = smap(_mle_fn, (gP, gP, gP, rP))(y_safe, mu_safe, la0, x)
-    alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
-    no_increase = mle["last_lp"] < mle["initial_lp"] + \
-        jnp.abs(mle["initial_lp"]) / 1e6
-    disp_gene_est = jnp.where(no_increase, alpha_init, alpha_mle)
-    conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
-    refit = ~conv & (disp_gene_est > min_disp * 10)
+    def chain_gene_est(y_loc):
+        """Base stats + gene-wise dispersion MLE for a block of genes
+        (R/core.R:657-860).  Returns everything the later stages and the
+        outlier-refit splice need."""
+        norm_c = y_loc / sf[None, :]
+        base_mean = norm_c.mean(axis=1)
+        base_var = norm_c.var(axis=1, ddof=1)
+        all_zero = jnp.sum(y_loc, axis=1) == 0
 
-    def _grid_fb(use_prior):
-        def fb(disp_cur, need, prior_mean_arr, prior_var, y_, mu_, x_, grid_):
-            """Grid-search fallback only on the `need` genes: gather them
-            into a small static buffer when few (the common case), full
-            batch otherwise.  Exact — the grid is per-gene independent.
-            Shapes are per-shard under shard_map, so the capacity and the
-            compaction are local to each device."""
-            g_local = y_.shape[0]
-            capg = straggler_capacity(g_local, frac=16, floor=1024)
+        # dispersion init (R/core.R:709-728)
+        mu_ls = jnp.maximum(_ls_fitted(norm_c, x), 1.0)
+        rough = jnp.maximum(jnp.sum(((norm_c - mu_ls) ** 2 - mu_ls)
+                                    / mu_ls ** 2, axis=1) / (S - p), 0.0)
+        moments = (base_var - xim * base_mean) / base_mean ** 2
+        alpha_init = jnp.minimum(rough, jnp.where(all_zero, rough, moments))
+        alpha_init = jnp.clip(jnp.where(jnp.isnan(alpha_init), min_disp,
+                                        alpha_init), min_disp, max_disp)
 
-            def grid_solve(yy, mm, pm):
-                if _use_pallas_grid(yy.shape[1], x_.shape[1], dtype):
-                    return fit_disp_grid_pallas(
-                        yy, x_, mm, grid_.astype(dtype), pm, prior_var,
-                        use_prior=use_prior)
-                return _fit_disp_grid_core(yy, x_, mm, grid_.astype(dtype),
-                                           pm, prior_var,
-                                           use_prior=use_prior)
+        # mu for dispersion fitting: LS projection * nf (linearMu fast
+        # path, exact for group-like designs; R/core.R:754-764)
+        mu_disp = jnp.maximum(_ls_fitted(norm_c, x) * sf[None, :], min_mu)
+        y_safe = jnp.where(all_zero[:, None], 1.0, y_loc)
+        mu_safe = jnp.where(all_zero[:, None], 1.0, mu_disp)
 
-            def full_fn(_):
-                la = grid_solve(y_, mu_, prior_mean_arr)
-                return jnp.where(need, jnp.exp(la), disp_cur)
+        la0 = jnp.log(alpha_init)
+        if use_ls_pallas:
+            mle = fit_disp_line_search_pallas(y_safe, x, mu_safe, la0, la0,
+                                              1.0, min_la, maxit=maxit,
+                                              use_prior=False)
+        else:
+            mle = _fit_disp_line_search_core(y_safe, x, mu_safe, la0, la0,
+                                             1.0, min_la, maxit=maxit,
+                                             use_prior=False)
+        alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
+        no_increase = mle["last_lp"] < mle["initial_lp"] + \
+            jnp.abs(mle["initial_lp"]) / 1e6
+        dge = jnp.where(no_increase, alpha_init, alpha_mle)
+        conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
+        need_grid = ~conv & (dge > min_disp * 10)
+        dge = chain_grid_fb(dge, need_grid, jnp.zeros_like(dge),
+                            jnp.asarray(1.0, dtype), False, y_safe, mu_safe)
+        dge = jnp.clip(dge, min_disp, max_disp)
+        return dict(base_mean=base_mean, base_var=base_var,
+                    all_zero=all_zero, disp_gene_est=dge,
+                    y_safe=y_safe, mu_safe=mu_safe, norm_c=norm_c)
 
-            if capg == 0:
-                return jax.lax.cond(jnp.any(need), full_fn,
-                                    lambda _: disp_cur, operand=None)
+    def chain_grid_fb(disp_cur, need, prior_mean_arr, prior_var, use_prior,
+                      y_safe, mu_safe):
+        """Grid-search fallback only on the `need` genes: gather them
+        into a small static buffer when few (the common case), full
+        batch otherwise.  Exact — the grid is per-gene independent.
+        Shapes are per-shard under shard_map, so the capacity and the
+        compaction are local to each device."""
+        g_local = y_safe.shape[0]
+        capg = straggler_capacity(g_local, frac=16, floor=1024)
 
-            def compact_fn(_):
-                idx = compact_live_indices(need, capg)
-                la = grid_solve(y_[idx], mu_[idx], prior_mean_arr[idx])
-                new = jnp.where(need[idx], jnp.exp(la), disp_cur[idx])
-                return disp_cur.at[idx].set(new)
+        def grid_solve(yy, mm, pm):
+            if _use_pallas_grid(yy.shape[1], p, dtype):
+                return fit_disp_grid_pallas(
+                    yy, x, mm, grid.astype(dtype), pm, prior_var,
+                    use_prior=use_prior)
+            return _fit_disp_grid_core(yy, x, mm, grid.astype(dtype),
+                                       pm, prior_var, use_prior=use_prior)
 
-            n = jnp.sum(need)
-            return jax.lax.cond(
-                n == 0, lambda _: disp_cur,
-                lambda _: jax.lax.cond(n > capg, full_fn, compact_fn,
-                                       operand=None), operand=None)
-        return fb
+        def full_fn(_):
+            la = grid_solve(y_safe, mu_safe, prior_mean_arr)
+            return jnp.where(need, jnp.exp(la), disp_cur)
 
-    grid_specs = (gP, gP, gP, rP, gP, gP, rP, rP)
+        if capg == 0:
+            return jax.lax.cond(jnp.any(need), full_fn,
+                                lambda _: disp_cur, operand=None)
 
-    def grid_fallback(disp_cur, need, prior_mean_arr, prior_var, use_prior):
-        pv = jnp.asarray(prior_var, dtype)
-        return smap(_grid_fb(use_prior), grid_specs)(
-            disp_cur, need, prior_mean_arr, pv, y_safe, mu_safe, x, grid)
+        def compact_fn(_):
+            idx = compact_live_indices(need, capg)
+            la = grid_solve(y_safe[idx], mu_safe[idx], prior_mean_arr[idx])
+            new = jnp.where(need[idx], jnp.exp(la), disp_cur[idx])
+            return disp_cur.at[idx].set(new)
 
-    disp_gene_est = grid_fallback(disp_gene_est, refit,
-                                  jnp.zeros(G, dtype), 1.0, False)
-    disp_gene_est = jnp.clip(disp_gene_est, min_disp, max_disp)
+        n = jnp.sum(need)
+        return jax.lax.cond(
+            n == 0, lambda _: disp_cur,
+            lambda _: jax.lax.cond(n > capg, full_fn, compact_fn,
+                                   operand=None), operand=None)
+
+    def chain_post_trend(est, c0, c1, disp_prior_var, var_log_disp):
+        """MAP shrinkage + ridge IRLS given the (frozen) trend
+        (R/core.R:1016-1115, 1400-1463)."""
+        y_safe, mu_safe = est["y_safe"], est["mu_safe"]
+        all_zero, dge = est["all_zero"], est["disp_gene_est"]
+        disp_fit = c0 + c1 / jnp.where(all_zero, 1.0, est["base_mean"])
+
+        disp_init = jnp.where(dge > 0.1 * disp_fit, dge, disp_fit)
+        if use_ls_pallas:
+            map_res = fit_disp_line_search_pallas(
+                y_safe, x, mu_safe, jnp.log(disp_init), jnp.log(disp_fit),
+                disp_prior_var, min_la, maxit=maxit, use_prior=True)
+        else:
+            map_res = _fit_disp_line_search_core(
+                y_safe, x, mu_safe, jnp.log(disp_init), jnp.log(disp_fit),
+                disp_prior_var, min_la, maxit=maxit, use_prior=True)
+        disp_map = jnp.exp(map_res["log_alpha"])
+        need_grid = map_res["iter"] >= maxit
+        disp_map = chain_grid_fb(disp_map, need_grid, jnp.log(disp_fit),
+                                 disp_prior_var, True, y_safe, mu_safe)
+        disp_map = jnp.clip(disp_map, min_disp, max_disp)
+        disp_outlier = jnp.log(dge) > jnp.log(disp_fit) + \
+            2.0 * jnp.sqrt(var_log_disp)
+        dispersion = jnp.where(disp_outlier, dge, disp_map)
+
+        beta_init = chol_solve(x.T @ x,
+                               (jnp.log(est["norm_c"] + 0.1) @ x).T).T
+        if use_irls_pallas:
+            # 1-D nf: the kernel skips one (G,S) HBM stream for the
+            # shared per-sample size-factor row (the common case)
+            fit = fit_beta_pallas(y_safe, x, sf, dispersion, beta_init,
+                                  lam_nat, maxit=maxit, min_mu=min_mu)
+        else:
+            fit = _fit_beta_core(y_safe, x,
+                                 jnp.broadcast_to(sf[None, :], y_safe.shape),
+                                 dispersion, beta_init, lam_nat,
+                                 maxit=maxit, min_mu=min_mu)
+        # the reference recomputes mu UNclamped from the final betas in R
+        # (R/fitNbinomGLMs.R:180) — the minmu-clamped kernel mu is only
+        # internal to the IRLS/hat computation
+        mu_out = sf[None, :] * jnp.exp(fit["beta"] @ x.T)
+        return dict(disp_fit=disp_fit, disp_map=disp_map,
+                    disp_outlier=disp_outlier, dispersion=dispersion,
+                    beta=fit["beta"], beta_var=fit["beta_var"],
+                    beta_iter=fit["iter"], mu=mu_out,
+                    hat=fit["hat_diag"], deviance=fit["deviance"])
+
+    # ======== main path ========
+
+    est = smap(chain_gene_est, (gP,))(y)
+    base_mean, base_var = est["base_mean"], est["base_var"]
+    all_zero, disp_gene_est = est["all_zero"], est["disp_gene_est"]
 
     # ---- parametric trend (cross-gene reduction) --------------------------
     use_for_fit = (disp_gene_est > 100 * min_disp) & ~all_zero
     coefs = _gamma_trend_fit(base_mean, disp_gene_est, use_for_fit)
-    disp_fit = coefs[0] + coefs[1] / jnp.where(all_zero, 1.0, base_mean)
 
     # varLogDispEsts: MAD^2 over non-zero genes (R/methods.R:172-184)
-    resid = jnp.log(disp_gene_est) - jnp.log(disp_fit)
+    disp_fit_full = coefs[0] + coefs[1] / jnp.where(all_zero, 1.0, base_mean)
+    resid = jnp.log(disp_gene_est) - jnp.log(disp_fit_full)
     med = _masked_median(resid, ~all_zero)
     var_log_disp = (1.4826 * _masked_median(jnp.abs(resid - med),
                                             ~all_zero)) ** 2
     exp_var = polygamma(1, (S - p) / 2.0).astype(dtype)
     disp_prior_var = jnp.maximum(var_log_disp - exp_var, 0.25)
 
-    # ---- MAP shrinkage (R/core.R:1016-1115) --------------------------------
-    disp_init = jnp.where(disp_gene_est > 0.1 * disp_fit, disp_gene_est,
-                          disp_fit)
+    post = smap(chain_post_trend,
+                ({k: gP for k in est}, rP, rP, rP, rP))(
+        est, coefs[0], coefs[1], disp_prior_var, var_log_disp)
+    disp_fit, disp_map = post["disp_fit"], post["disp_map"]
+    disp_outlier, dispersion = post["disp_outlier"], post["dispersion"]
+    beta_nat, beta_var = post["beta"], post["beta_var"]
+    beta_iter, mu, hat = post["beta_iter"], post["mu"], post["hat"]
+    deviance = post["deviance"]
 
-    def _map_fn(y_, mu_, la_, pm_, pv_, x_):
-        return _fit_disp_line_search_core(y_, x_, mu_, la_, pm_, pv_,
-                                          min_la, maxit=maxit,
-                                          use_prior=True)
+    out = dict(trendCoefs=coefs, dispPriorVar=disp_prior_var,
+               varLogDispEsts=var_log_disp)
 
-    map_res = smap(_map_fn, (gP, gP, gP, gP, rP, rP))(
-        y_safe, mu_safe, jnp.log(disp_init), jnp.log(disp_fit),
-        disp_prior_var, x)
-    disp_map = jnp.exp(map_res["log_alpha"])
-    refit_map = map_res["iter"] >= maxit
-    disp_map = grid_fallback(disp_map, refit_map, jnp.log(disp_fit),
-                             disp_prior_var, True)
-    disp_map = jnp.clip(disp_map, min_disp, max_disp)
-    disp_outlier = jnp.log(disp_gene_est) > jnp.log(disp_fit) + \
-        2.0 * jnp.sqrt(var_log_disp)
-    dispersion = jnp.where(disp_outlier, disp_gene_est, disp_map)
+    # ======== Cook's distances + outlier replacement/refit ========
+    replace = jnp.zeros(G, bool)
+    max_cooks = None
+    cooks = None
+    if cells is not None and S > p:
+        import numpy as np
+        from scipy.stats import f as f_dist
+        from .cooksdev import (cooks_distance_dev, max_cooks_dev,
+                               trimmed_mean_dev)
+        cutoff99 = float(f_dist.ppf(0.99, p, S - p))
+        norm_counts = y / sf[None, :]
+        cooks = cooks_distance_dev(y, norm_counts, mu, hat, cells, p)
+        cooks = jnp.where(all_zero[:, None], jnp.nan, cooks)
+        max_cooks = max_cooks_dev(cooks, cells, p)
 
-    # ---- NB GLM + Wald (R/core.R:1400-1508) --------------------------------
-    beta_init = chol_solve(x.T @ x, (jnp.log(norm_counts + 0.1) @ x).T).T
-    lam_nat = jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)
+        cells_np = np.asarray(cells)
+        replaceable_np = np.bincount(cells_np)[cells_np] >= min_replicates
+        if replaceable_np.any():
+            # --- replaceOutliers (R/core.R:2069-2115) ---
+            with_outlier = cooks > cutoff99            # NaN -> False
+            replace = jnp.any(with_outlier, axis=1) & ~all_zero
+            trim_base = trimmed_mean_dev(norm_counts, 0.2)
+            replacement = jnp.trunc(trim_base[:, None] * sf[None, :])
+            repl_cols = jnp.asarray(replaceable_np)[None, :]
+            y_new = jnp.where(with_outlier & repl_cols, replacement, y)
+            new_all_zero = jnp.sum(y_new, axis=1) == 0
+            need = replace & ~new_all_zero
+            any_need = jnp.any(need)
 
-    def _irls_fn(y_, nf_, al_, b0_, x_, lam_):
-        return _fit_beta_core(y_, x_, nf_, al_, b0_, lam_,
-                              maxit=maxit, min_mu=min_mu)
+            # the host path recomputes base stats on the replaced counts
+            # for every gene when any row was replaced (R/core.R:2508);
+            # values only change for replaced rows
+            any_replace = jnp.any(replace)
+            norm_new = y_new / sf[None, :]
+            base_mean = jnp.where(replace & any_replace,
+                                  norm_new.mean(axis=1), base_mean)
+            base_var = jnp.where(replace & any_replace,
+                                 norm_new.var(axis=1, ddof=1), base_var)
+            all_zero = jnp.where(replace & any_replace, new_all_zero,
+                                 all_zero)
 
-    fit = smap(_irls_fn, (gP, gP, gP, gP, rP, rP))(
-        y_safe, nf, dispersion, beta_init, x, lam_nat)
-    beta_log2 = LOG2E * fit["beta"]
-    se_log2 = LOG2E * jnp.sqrt(jnp.maximum(fit["beta_var"], 0.0))
+            # --- refit dispersions + GLM on replaced rows only, with the
+            # frozen trend/prior (refitWithoutOutliers R/core.R:2497-2560)
+            def chain_refit(y_new_loc, need_loc, tmpl, c0, c1, pv, vld):
+                g_local = y_new_loc.shape[0]
+                capg = straggler_capacity(g_local, frac=8, floor=2048)
+
+                def refit_block(y_blk):
+                    est2 = chain_gene_est(y_blk)
+                    post2 = chain_post_trend(est2, c0, c1, pv, vld)
+                    cooks2 = cooks_distance_dev(
+                        y_blk, est2["norm_c"], post2["mu"], post2["hat"],
+                        cells, p)
+                    cooks2 = jnp.where(est2["all_zero"][:, None], jnp.nan,
+                                       cooks2)
+                    return dict(
+                        disp_gene_est=est2["disp_gene_est"],
+                        disp_fit=post2["disp_fit"],
+                        disp_map=post2["disp_map"],
+                        disp_outlier=post2["disp_outlier"],
+                        dispersion=post2["dispersion"],
+                        beta=post2["beta"], beta_var=post2["beta_var"],
+                        beta_iter=post2["beta_iter"], mu=post2["mu"],
+                        hat=post2["hat"], deviance=post2["deviance"],
+                        cooks=cooks2)
+
+                def splice(new, sel):
+                    return {k: jnp.where(
+                        sel.reshape((-1,) + (1,) * (tmpl[k].ndim - 1)),
+                        new[k].astype(tmpl[k].dtype), tmpl[k])
+                        for k in tmpl}
+
+                def full_fn(_):
+                    return splice(refit_block(y_new_loc), need_loc)
+
+                def none_fn(_):
+                    return tmpl
+
+                if capg == 0:
+                    return jax.lax.cond(jnp.any(need_loc), full_fn, none_fn,
+                                        operand=None)
+
+                def compact_fn(_):
+                    idx = compact_live_indices(need_loc, capg)
+                    new_c = refit_block(y_new_loc[idx])
+                    sel = need_loc[idx]
+                    out_c = {}
+                    for k in tmpl:
+                        upd = jnp.where(
+                            sel.reshape((-1,) + (1,) * (tmpl[k].ndim - 1)),
+                            new_c[k].astype(tmpl[k].dtype), tmpl[k][idx])
+                        out_c[k] = tmpl[k].at[idx].set(upd)
+                    return out_c
+
+                n = jnp.sum(need_loc)
+                return jax.lax.cond(
+                    n == 0, none_fn,
+                    lambda _: jax.lax.cond(n > capg, full_fn, compact_fn,
+                                           operand=None), operand=None)
+
+            tmpl = dict(disp_gene_est=disp_gene_est,
+                        disp_fit=disp_fit, disp_map=disp_map,
+                        disp_outlier=disp_outlier, dispersion=dispersion,
+                        beta=beta_nat, beta_var=beta_var,
+                        beta_iter=beta_iter, mu=mu, hat=hat,
+                        deviance=deviance, cooks=cooks)
+            spl = smap(chain_refit,
+                       (gP, gP, {k: gP for k in tmpl}, rP, rP, rP, rP))(
+                y_new, need, tmpl, coefs[0], coefs[1], disp_prior_var,
+                var_log_disp)
+            disp_gene_est = spl["disp_gene_est"]
+            disp_fit, disp_map = spl["disp_fit"], spl["disp_map"]
+            disp_outlier, dispersion = (spl["disp_outlier"],
+                                        spl["dispersion"])
+            beta_nat, beta_var = spl["beta"], spl["beta_var"]
+            beta_iter, mu, hat = spl["beta_iter"], spl["mu"], spl["hat"]
+            deviance = spl["deviance"]
+
+            # maxCooks after refit (R/core.R:2540-2551), only when a
+            # refit actually ran (some replaced row is not newly zero):
+            # all samples replaceable -> all NA; else max over
+            # replace_cooks with replaceable columns zeroed
+            if max_cooks is not None:
+                if replaceable_np.all():
+                    max_cooks = jnp.where(any_need, jnp.nan, max_cooks)
+                else:
+                    replace_cooks = jnp.where(repl_cols, 0.0, spl["cooks"])
+                    mc2 = max_cooks_dev(replace_cooks, cells, p)
+                    max_cooks = jnp.where(any_need, mc2, max_cooks)
+            out["replaceCooks"] = spl["cooks"]
+
+    # ======== Wald statistics (R/core.R:1471-1508) ========
+    beta_log2 = LOG2E * beta_nat
+    se_log2 = LOG2E * jnp.sqrt(jnp.maximum(beta_var, 0.0))
     wald_stat = beta_log2 / se_log2
     wald_p = erfc(jnp.abs(wald_stat) / jnp.sqrt(2.0).astype(dtype))
 
-    # BH on the last coefficient's p-values (default results contrast)
-    padj_last = _bh_adjust(wald_p[:, -1], ~all_zero)
+    # ---- default-contrast results tail: Cook's masking, zeroed rows,
+    # independent filtering (R/results.R:520-575, 638-718) ----
+    p_last = jnp.where(all_zero, jnp.nan, wald_p[:, -1])
+    lfc_last = jnp.where(all_zero, jnp.nan, beta_log2[:, -1])
+    se_last = jnp.where(all_zero, jnp.nan, se_log2[:, -1])
+    stat_last = jnp.where(all_zero, jnp.nan, wald_stat[:, -1])
+
+    if max_cooks is not None:
+        cooks_outlier = jnp.where(jnp.isnan(max_cooks), False,
+                                  max_cooks > jnp.asarray(cutoff99, dtype))
+        if two_group:
+            # don't filter when >=3 counts exceed the outlier's count
+            # (R/results.R:538-562)
+            cmax = jnp.where(jnp.isnan(cooks), -jnp.inf, cooks)
+            iarg = jnp.argmax(cmax, axis=1)
+            out_count = jnp.take_along_axis(y, iarg[:, None], axis=1)[:, 0]
+            unmask = jnp.sum(y > out_count[:, None], axis=1) >= 3
+            cooks_outlier = cooks_outlier & ~unmask
+        p_last = jnp.where(cooks_outlier, jnp.nan, p_last)
+
+    # replaced-to-zero rows: LFC=0, SE=0, stat=0, p=1 (R/results.R:567-575)
+    now_zero = replace & (base_mean == 0)
+    lfc_last = jnp.where(now_zero, 0.0, lfc_last)
+    se_last = jnp.where(now_zero, 0.0, se_last)
+    stat_last = jnp.where(now_zero, 0.0, stat_last)
+    p_last = jnp.where(now_zero, 1.0, p_last)
+
+    padj_last = _bh_adjust(p_last, ~jnp.isnan(p_last))
+
+    from .filterdev import filtered_bh_dev, theta_grid_dev
+    theta = theta_grid_dev(base_mean)
+    filter_padj, num_rej, cutoffs = filtered_bh_dev(
+        p_last, base_mean, theta, jnp.asarray(alpha, dtype))
 
     nanmask = lambda v: jnp.where(all_zero, jnp.nan, v)
-    return dict(
+    out.update(
         baseMean=base_mean, baseVar=base_var, allZero=all_zero,
         dispGeneEst=nanmask(disp_gene_est), dispFit=nanmask(disp_fit),
         dispersion=nanmask(dispersion), dispMAP=nanmask(disp_map),
         dispOutlier=disp_outlier & ~all_zero,
-        trendCoefs=coefs, dispPriorVar=disp_prior_var,
-        varLogDispEsts=var_log_disp,
         beta=jnp.where(all_zero[:, None], jnp.nan, beta_log2),
         betaSE=jnp.where(all_zero[:, None], jnp.nan, se_log2),
         stat=jnp.where(all_zero[:, None], jnp.nan, wald_stat),
         pvalue=jnp.where(all_zero[:, None], jnp.nan, wald_p),
-        betaIter=fit["iter"], betaConv=fit["iter"] < maxit,
-        mu=fit["mu"], hatDiag=fit["hat_diag"],
-        deviance=nanmask(fit["deviance"]), padjLast=padj_last)
+        betaIter=beta_iter, betaConv=beta_iter < maxit,
+        mu=mu, hatDiag=hat, deviance=nanmask(deviance),
+        lfcLast=lfc_last, seLast=se_last, statLast=stat_last,
+        pvalueLast=p_last, padjLast=padj_last, replace=replace,
+        filterTheta=theta, filterPadj=filter_padj, filterNumRej=num_rej,
+        filterCutoffs=cutoffs)
+    if cooks is not None:
+        out["cooks"] = cooks
+        out["maxCooks"] = (jnp.full(G, jnp.nan, dtype) if max_cooks is None
+                           else jnp.where(all_zero, jnp.nan, max_cooks))
+    return out
+
+
+def design_cells(x):
+    """Static per-sample design-cell codes from a model matrix (host)."""
+    import numpy as np
+    rows = [tuple(r) for r in np.asarray(x)]
+    seen = {}
+    return tuple(seen.setdefault(r, len(seen)) for r in rows)
 
 
 def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
-                      min_disp=1e-8):
+                      min_disp=1e-8, cells=None, two_group=False,
+                      alpha=0.1):
     """Run the fused pipeline with the genes axis sharded over `mesh`."""
     import numpy as np
     from .sharding import pad_to_multiple, replicated, shard_genes
@@ -353,6 +610,61 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                        np.log(max(10.0, counts.shape[1])), 20)
     grid_d = jax.device_put(grid, rep)
     out = fused_wald_pipeline(counts_d, x_d, sf_d, grid_d, maxit=maxit,
-                              mesh=mesh if n_dev > 1 else None)
+                              mesh=mesh if n_dev > 1 else None,
+                              cells=cells, two_group=two_group, alpha=alpha)
     return {k: np.asarray(v)[:G] if np.ndim(v) and np.shape(v)[0] ==
             counts_p.shape[0] else np.asarray(v) for k, v in out.items()}
+
+
+def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
+                  alpha=0.1, independent_filtering=True, mesh=None,
+                  two_group=False, min_replicates=7, devices=None):
+    """Full default-contrast DESeq Wald results via the fused pipeline.
+
+    Equivalent of deseq() + results() for the default bulk configuration
+    (last-coefficient Wald contrast, parametric trend, no weights): runs
+    the on-device pipeline (incl. Cook's masking, outlier refit, and the
+    filtered-BH theta grid), then finishes independent filtering's
+    50-scalar lowess cutoff choice on host (R/results.R:661-698) and
+    returns the results-table columns."""
+    import numpy as np
+    from ..results import choose_filter_theta
+
+    x_np = np.asarray(x, dtype=np.float64)
+    cells = design_cells(x_np)
+    grid = np.linspace(np.log(min_disp),
+                       np.log(max(10.0, counts.shape[1])), 20)
+    if mesh is not None:
+        out = run_fused_sharded(np.asarray(counts), x_np, size_factors,
+                                mesh, maxit=maxit, min_disp=min_disp,
+                                cells=cells, two_group=two_group,
+                                alpha=alpha)
+        fetch = lambda v: v
+    else:
+        # counts may already live on device — jnp.asarray is then a no-op
+        out = fused_wald_pipeline(jnp.asarray(counts), jnp.asarray(x_np),
+                                  jnp.asarray(np.asarray(size_factors)),
+                                  jnp.asarray(grid), maxit=maxit,
+                                  cells=cells, two_group=two_group,
+                                  alpha=alpha)
+        fetch = lambda v: np.asarray(v)
+
+    res = dict(baseMean=fetch(out["baseMean"]),
+               log2FoldChange=fetch(out["lfcLast"]),
+               lfcSE=fetch(out["seLast"]), stat=fetch(out["statLast"]),
+               pvalue=fetch(out["pvalueLast"]))
+    if independent_filtering:
+        num_rej = fetch(out["filterNumRej"])
+        theta = fetch(out["filterTheta"])
+        j, lx, lo_y = choose_filter_theta(theta, num_rej)
+        res["padj"] = fetch(out["filterPadj"][j])
+        res["filterThreshold"] = float(fetch(out["filterCutoffs"])[j])
+        res["filterTheta"] = float(theta[j])
+        res["filterNumRej"] = num_rej
+    else:
+        res["padj"] = fetch(out["padjLast"])
+    for k in ("dispGeneEst", "dispFit", "dispersion", "maxCooks",
+              "replace", "betaConv", "allZero"):
+        if k in out:
+            res[k] = fetch(out[k])
+    return res

@@ -300,6 +300,34 @@ def filtered_p(filter_stat, test_p, theta, method="BH"):
     return result
 
 
+def choose_filter_theta(theta, num_rej):
+    """Pick the lowest theta whose rejection count reaches the lowess-fit
+    maximum minus its RMSE (reference R/results.R:661-692).  Returns
+    (index j, lowess x, lowess y) — the 50-point scalar tail of
+    independent filtering, shared by the host and fused paths."""
+    lx, lo_fit_y = r_lowess(theta, np.asarray(num_rej, dtype=float),
+                            f=1.0 / 5)
+    num_rej = np.asarray(num_rej)
+    if num_rej.max() <= 10:
+        return 0, lx, lo_fit_y
+    if np.all(num_rej == 0):
+        residual = np.zeros(1)
+    else:
+        residual = num_rej[num_rej > 0] - lo_fit_y[num_rej > 0]
+    max_fit = lo_fit_y.max()
+    rmse = np.sqrt(np.mean(residual ** 2))
+    thresh = max_fit - rmse
+    if np.any(num_rej > thresh):
+        j = int(np.where(num_rej > thresh)[0][0])
+    elif np.any(num_rej > 0.9 * max_fit):
+        j = int(np.where(num_rej > 0.9 * max_fit)[0][0])
+    elif np.any(num_rej > 0.8 * max_fit):
+        j = int(np.where(num_rej > 0.8 * max_fit)[0][0])
+    else:
+        j = 0
+    return j, lx, lo_fit_y
+
+
 def pvalue_adjustment(res, independent_filtering, filter, theta, alpha,
                       p_adjust_method="BH"):
     """(reference pvalueAdjustment, R/results.R:638-718)"""
@@ -318,25 +346,7 @@ def pvalue_adjustment(res, independent_filtering, filter, theta, alpha,
         filt_padj = filtered_p(filter, res.pvalue, theta, p_adjust_method)
         with np.errstate(invalid="ignore"):
             num_rej = np.nansum(filt_padj < alpha, axis=0)
-        lx, lo_fit_y = r_lowess(theta, num_rej.astype(float), f=1.0 / 5)
-        if num_rej.max() <= 10:
-            j = 0
-        else:
-            if np.all(num_rej == 0):
-                residual = np.zeros(1)
-            else:
-                residual = num_rej[num_rej > 0] - lo_fit_y[num_rej > 0]
-            max_fit = lo_fit_y.max()
-            rmse = np.sqrt(np.mean(residual ** 2))
-            thresh = max_fit - rmse
-            if np.any(num_rej > thresh):
-                j = int(np.where(num_rej > thresh)[0][0])
-            elif np.any(num_rej > 0.9 * max_fit):
-                j = int(np.where(num_rej > 0.9 * max_fit)[0][0])
-            elif np.any(num_rej > 0.8 * max_fit):
-                j = int(np.where(num_rej > 0.8 * max_fit)[0][0])
-            else:
-                j = 0
+        j, lx, lo_fit_y = choose_filter_theta(theta, num_rej)
         padj = filt_padj[:, j]
         cutoffs = r_quantile_type7(filter, theta)
         res.metadata["filterThreshold"] = np.atleast_1d(cutoffs)[j]

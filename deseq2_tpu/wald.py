@@ -100,6 +100,10 @@ def nbinom_wald_test(dds, beta_prior=False, beta_prior_var=None,
     else:
         disp_model_matrix = model_matrix
     dds.attrs["dispModelMatrix"] = disp_model_matrix
+    # the reference refreshes objectNZ's mu with the Wald-fit mu BEFORE
+    # Cook's (R/core.R:1436 precedes :1457); nbinomLRT does not — there
+    # Cook's sees the gene-est mu (R/core.R:1888 precedes :1959)
+    obj_nz.assays["mu"] = mu
     cooks = calculate_cooks_distance(obj_nz, H, disp_model_matrix)
     max_cooks = record_max_cooks(disp_model_matrix, cooks, obj_nz.n_genes)
     dds.assays["cooks"] = _na_pad_matrix(cooks, nz)

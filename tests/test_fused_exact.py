@@ -1,0 +1,80 @@
+"""Fused pipeline == host-exact deseq()+results() on the default config.
+
+VERDICT round-1 item 3: the benched fused pipeline must agree with the
+reference-exact host path column-for-column (CPU f64, default Wald
+config: ~condition two-group design, parametric trend, no weights).
+"""
+
+import numpy as np
+import pytest
+
+import deseq2_tpu as dt
+from deseq2_tpu.parallel.fused import fused_results
+
+
+def _cmp(a, b, name, rtol=1e-6, atol=1e-9):
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    assert np.array_equal(np.isnan(a), np.isnan(b)), \
+        f"{name}: NaN pattern differs"
+    m = ~np.isnan(a)
+    np.testing.assert_allclose(a[m], b[m], rtol=rtol, atol=atol,
+                               err_msg=name)
+
+
+@pytest.fixture(scope="module")
+def exact_and_fused():
+    dds = dt.make_example_dataset(n=400, m=12, beta_sd=1.0, seed=42)
+    dds = dt.deseq(dds)
+    res = dt.results(dds)
+    x = dds.attrs["modelMatrix"]
+    sf = dds.size_factors
+    fres = fused_results(np.asarray(dds.counts), x, sf, two_group=True)
+    return dds, res, fres
+
+
+def test_base_mean_and_dispersions(exact_and_fused):
+    dds, res, fres = exact_and_fused
+    _cmp(res["baseMean"], fres["baseMean"], "baseMean")
+    _cmp(dds.row_data["dispGeneEst"], fres["dispGeneEst"], "dispGeneEst")
+    _cmp(dds.row_data["dispFit"], fres["dispFit"], "dispFit")
+    _cmp(dds.row_data["dispersion"], fres["dispersion"], "dispersion")
+
+
+def test_wald_columns(exact_and_fused):
+    dds, res, fres = exact_and_fused
+    _cmp(res["log2FoldChange"], fres["log2FoldChange"], "log2FoldChange")
+    _cmp(res["lfcSE"], fres["lfcSE"], "lfcSE")
+    _cmp(res["stat"], fres["stat"], "stat")
+    _cmp(res["pvalue"], fres["pvalue"], "pvalue")
+
+
+def test_max_cooks_and_padj(exact_and_fused):
+    dds, res, fres = exact_and_fused
+    _cmp(dds.row_data["maxCooks"], fres["maxCooks"], "maxCooks")
+    _cmp(res["padj"], fres["padj"], "padj")
+    assert res.metadata["filterTheta"] == pytest.approx(
+        fres["filterTheta"], rel=1e-12)
+
+
+def test_outlier_refit_matches_host():
+    """m=14 (7 per cell): the replacement+refit path runs; fused must
+    match the host refitWithoutOutliers splice."""
+    dds = dt.make_example_dataset(n=300, m=14, beta_sd=1.0, seed=7)
+    counts = np.asarray(dds.counts).copy()
+    # inject count outliers so replacement triggers
+    rng = np.random.default_rng(3)
+    for i in rng.choice(300, 8, replace=False):
+        j = int(rng.integers(14))
+        counts[i, j] = int(counts[i].mean() * 40 + 500)
+    dds.counts[:] = counts
+    dds = dt.deseq(dds)
+    res = dt.results(dds)
+    fres = fused_results(counts, dds.attrs["modelMatrix"],
+                         dds.size_factors, two_group=True)
+    assert np.array_equal(np.asarray(dds.row_data["replace"], bool),
+                          fres["replace"])
+    _cmp(res["baseMean"], fres["baseMean"], "baseMean")
+    _cmp(res["log2FoldChange"], fres["log2FoldChange"], "log2FoldChange")
+    _cmp(res["pvalue"], fres["pvalue"], "pvalue")
+    _cmp(res["padj"], fres["padj"], "padj")
