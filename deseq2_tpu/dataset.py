@@ -154,6 +154,20 @@ class DESeqDataSet:
         new.assays = {k: v[idx] for k, v in self.assays.items()}
         return new
 
+    def subset_samples(self, idx):
+        """Column-subset (samples); mirrors dds[, idx] in the reference."""
+        idx = np.asarray(idx)
+        if idx.dtype == bool:
+            idx = np.where(idx)[0]
+        new = self.copy()
+        new.counts = self.counts[:, idx]
+        new.col_names = [self.col_names[i] for i in idx]
+        new.col_data = {k: v[idx] for k, v in self.col_data.items()}
+        new.assays = {k: (v[:, idx] if v.ndim == 2 and
+                          v.shape[1] == self.n_samples else v)
+                      for k, v in self.assays.items()}
+        return new
+
     # -- accessors mirroring reference R/methods.R --------------------------
     @property
     def size_factors(self):

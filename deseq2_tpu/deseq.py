@@ -73,9 +73,25 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
         if full is not None and parse_formula(full) != dds.design:
             raise ValueError("'full' specified as formula should equal "
                              "design(object)")
-        if not dds.design.variables and not quiet:
+        # R warning(), not a quiet-gated message (R/core.R:357)
+        if not dds.design.variables:
             warnings.warn("the design is ~ 1 (just an intercept). "
                           "is this intended?")
+        # re-run the validity check on design factor levels — the
+        # reference's S4 validity fires on every object update
+        # (R/AllClasses.R:36-44): levels duplicating under make.names
+        # break column naming
+        from .formula import Factor, make_names
+        for v in dds.design.variables:
+            val = dds.col_data.get(v)
+            if isinstance(val, Factor):
+                nms = make_names(val.levels)
+                if len(set(nms)) != len(nms):
+                    raise ValueError(
+                        "levels of factors in the design have non-unique "
+                        "level names after make.names() is applied. best "
+                        "to only use letters and numbers for levels of "
+                        "factors in the design")
         model_matrix = None
     else:
         if beta_prior:

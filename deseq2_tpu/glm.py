@@ -65,10 +65,19 @@ def get_and_check_weights(dds, model_matrix, weight_threshold=1e-2):
                 num_zero = ((weights * model_matrix[None, :, j]) == 0).sum(axis=1)
                 weights_ok &= num_zero != model_matrix.shape[0]
         if not np.all(weights_ok):
+            import warnings
             if "allZero" in dds.row_data:
                 dds.row_data["allZero"] = dds.row_data["allZero"] | ~weights_ok
             dds.set_row_data("weightsFail", ~weights_ok, "intermediate",
                              "weights fail to allow parameter estimation")
+            warnings.warn(
+                f"for {int((~weights_ok).sum())} row(s), the weights as "
+                "supplied won't allow parameter estimation, producing a "
+                "degenerate design matrix. These rows have been flagged "
+                "in mcols(dds)$weightsFail and treated as if the row "
+                "contained all zeros (mcols(dds)$allZero set to TRUE). "
+                "If you are blocking for donors/organisms, consider "
+                "design = ~0+donor+condition.")
         dds.attrs["weightsOK"] = True
     return dds, weights, True
 

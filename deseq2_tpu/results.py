@@ -20,7 +20,7 @@ from .formula import Factor, make_names
 from .glm import get_and_check_weights
 from .ops import irls
 from .quantiles import r_quantile_type7
-from .stats_r import p_adjust_bh, r_lowess
+from .stats_r import p_adjust, p_adjust_bh, r_lowess
 
 LOG2E = np.log2(np.e)
 LN2 = np.log(2.0)
@@ -116,11 +116,30 @@ def remove_results(dds):
 # results()
 # ---------------------------------------------------------------------------
 
+def mle_contrast(dds, contrast):
+    """lfcMLE column for a character contrast from the stored MLE_
+    columns (reference mleContrast, R/results.R:1120-1143)."""
+    fac, num, den = contrast
+    ref = dds.col_data[fac].levels[0]
+
+    def nm(a, b):
+        return make_names([f"MLE_{fac}_{a}_vs_{b}"])[0]
+
+    if den == ref:
+        v = np.asarray(dds.row_data[nm(num, den)], dtype=float).copy()
+    elif num == ref:
+        v = -np.asarray(dds.row_data[nm(den, num)], dtype=float)
+    else:
+        v = (np.asarray(dds.row_data[nm(num, ref)], dtype=float)
+             - np.asarray(dds.row_data[nm(den, ref)], dtype=float))
+    return v
+
+
 def results(dds, contrast=None, name=None, lfc_threshold=0.0,
             alt_hypothesis="greaterAbs", list_values=(1, -1),
             cooks_cutoff=None, independent_filtering=True, alpha=0.1,
             filter=None, theta=None, p_adjust_method="BH", test=None,
-            minmu=0.5):
+            minmu=0.5, add_mle=False):
     """Extract a results table (reference results(), R/results.R:298-615)."""
     if alt_hypothesis not in ("greaterAbs", "lessAbs", "greater", "less",
                               "greaterAbs2014"):
@@ -164,6 +183,25 @@ def results(dds, contrast=None, name=None, lfc_threshold=0.0,
 
     use_t = "tDegreesFreedom" in dds.row_data
 
+    if (contrast is not None
+            and dds.attrs.get("modelMatrixType") == "user-supplied"
+            and isinstance(contrast, (tuple, list))
+            and all(isinstance(c, str) for c in contrast)):
+        # (reference R/results.R:376-378)
+        raise ValueError("only list- and numeric-type contrasts are "
+                         "supported for user-supplied model matrices")
+
+    if add_mle:
+        # (reference R/results.R:348-355, 454-460)
+        if not dds.attrs.get("betaPrior"):
+            raise ValueError("addMLE=TRUE is only for when a beta prior "
+                             "was used. otherwise, the log2 fold changes "
+                             "are already MLE")
+        if not (isinstance(contrast, (list, tuple)) and len(contrast) == 3
+                and all(isinstance(c, str) for c in contrast)):
+            raise ValueError("addMLE=TRUE should be used by providing "
+                             "character vector of length 3 to 'contrast'")
+
     if contrast is not None:
         contrast = check_contrast(contrast, res_names)
         res = clean_contrast(dds, contrast, expanded=is_expanded,
@@ -171,6 +209,12 @@ def results(dds, contrast=None, name=None, lfc_threshold=0.0,
                              minmu=minmu)
     else:
         res = _pull_columns(dds, name, test)
+
+    if add_mle:
+        lfc_mle = mle_contrast(dds, contrast)
+        # an all-zero contrast also zeroes the lfcMLE (R/results.R:459-460)
+        lfc_mle[(res.log2_fold_change == 0) & (res.stat == 0)] = 0.0
+        res.extra_columns["lfcMLE"] = lfc_mle
 
     # alternative hypotheses / lfcThreshold (R/results.R:464-518)
     if not (lfc_threshold == 0 and alt_hypothesis == "greaterAbs"):
@@ -254,6 +298,8 @@ def results(dds, contrast=None, name=None, lfc_threshold=0.0,
         res.lfc_se[now_zero] = 0
         res.stat[now_zero] = 0
         res.pvalue[now_zero] = 1
+        if add_mle:
+            res.extra_columns["lfcMLE"][now_zero] = 0
 
     if not dds.attrs.get("betaPrior"):
         res.prior_info = dict(type="none", package="deseq2_tpu")
@@ -296,7 +342,7 @@ def filtered_p(filter_stat, test_p, theta, method="BH"):
     for i, cut in enumerate(np.atleast_1d(cutoffs)):
         use = filter_stat >= cut
         if np.any(use):
-            result[use, i] = p_adjust_bh(test_p[use])
+            result[use, i] = p_adjust(test_p[use], method)
     return result
 
 
@@ -331,8 +377,6 @@ def choose_filter_theta(theta, num_rej):
 def pvalue_adjustment(res, independent_filtering, filter, theta, alpha,
                       p_adjust_method="BH"):
     """(reference pvalueAdjustment, R/results.R:638-718)"""
-    if p_adjust_method != "BH":
-        raise NotImplementedError("only BH adjustment is implemented")
     if independent_filtering:
         if filter is None:
             filter = res.base_mean
@@ -355,7 +399,7 @@ def pvalue_adjustment(res, independent_filtering, filter, theta, alpha,
         res.metadata["lo.fit"] = dict(x=lx, y=lo_fit_y)
         res.metadata["alpha"] = alpha
     else:
-        padj = p_adjust_bh(res.pvalue)
+        padj = p_adjust(res.pvalue, p_adjust_method)
     res.padj = padj
     return res
 

@@ -36,6 +36,68 @@ def p_adjust_bh(p):
     return out
 
 
+def p_adjust(p, method="BH"):
+    """R's p.adjust for all supported methods (NAs stay NA and are
+    excluded from n, matching R's lazily-evaluated default n)."""
+    if method == "fdr":
+        method = "BH"
+    if method not in ("BH", "none", "bonferroni", "holm", "hochberg",
+                      "hommel", "BY"):
+        raise ValueError(f"unknown p.adjust method: {method}")
+    p = np.asarray(p, dtype=np.float64)
+    out = np.full(p.shape, np.nan)
+    nna = ~np.isnan(p)
+    pv = p[nna]
+    n = len(pv)
+    if n == 0:
+        return out
+    if method == "none" or n == 1:
+        out[nna] = pv
+        return out
+    if method == "BH":
+        return p_adjust_bh(p)
+    if method == "bonferroni":
+        out[nna] = np.minimum(1.0, n * pv)
+        return out
+    asc = np.argsort(pv, kind="stable")
+    inv = np.empty(n, dtype=np.int64)
+    inv[asc] = np.arange(n)
+    if method == "holm":
+        i = np.arange(1, n + 1)
+        adj = np.minimum(1.0, np.maximum.accumulate((n - i + 1) * pv[asc]))
+        out[nna] = adj[inv]
+        return out
+    if method == "hochberg":
+        i = np.arange(n, 0, -1)
+        ranked = pv[asc][::-1]       # descending
+        adj = np.minimum(1.0, np.minimum.accumulate(
+            (n - i + 1) * ranked))[::-1]
+        out[nna] = adj[inv]
+        return out
+    if method == "BY":
+        q = np.sum(1.0 / np.arange(1, n + 1))
+        i = np.arange(n, 0, -1)
+        ranked = pv[asc][::-1]
+        adj = np.minimum(1.0, np.minimum.accumulate(
+            q * n / i * ranked))[::-1]
+        out[nna] = adj[inv]
+        return out
+    # hommel (R's algorithm, p.adjust source)
+    s = pv[asc]
+    q = np.full(n, np.min(n * s / np.arange(1, n + 1)))
+    pa = q.copy()
+    for j in range(n - 1, 1, -1):
+        ij = np.arange(n - j + 1)
+        i2 = np.arange(n - j + 1, n)
+        q1 = np.min(j * s[i2] / np.arange(2, j + 1))
+        q[ij] = np.minimum(j * s[ij], q1)
+        q[i2] = q[n - j]
+        pa = np.maximum(pa, q)
+    pa = np.maximum(pa, s)
+    out[nna] = pa[inv]
+    return out
+
+
 def _lowest(x, y, xs, nleft, nright, rw, use_rw, xrange):
     """Local weighted linear fit at xs (C lowest() from R's lowess)."""
     h = max(xs - x[nleft], x[nright] - xs)

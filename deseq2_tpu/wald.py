@@ -194,7 +194,12 @@ def fit_glms_with_prior(dds, obj_nz, beta_tol, maxit, use_optim, use_qr,
         H = fit_mle["hat_diagonals"]
         mu = fit_mle["mu"]
         mle_beta_matrix = fit_mle["beta_matrix"]
-        mle_names = fit_mle["model_matrix_names"]
+        # the MLE columns always carry 'condition_b_vs_a' style names so
+        # results(addMLE=TRUE) can find them, even in expanded mode
+        # (reference R/fitNbinomGLMs.R:272-278)
+        from .formula import rename_model_matrix_columns
+        conv = rename_model_matrix_columns(dds.col_data, dds.design)
+        mle_names = [conv.get(n, n) for n in fit_mle["model_matrix_names"]]
         # store MLE_ columns on the nz object for estimate_beta_prior_var
         for j, n in enumerate(mle_names):
             obj_nz.set_row_data(f"MLE_{n}", mle_beta_matrix[:, j], "results",
