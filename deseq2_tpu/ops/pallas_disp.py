@@ -96,41 +96,54 @@ def _chol_logdet_cols(b_cols, p):
 
 def _grid_kernel(y_ref, mu_ref, xx_ref, grid_ref, frac_ref, pm_ref,
                  scal_ref, out_ref, *, p, grid_n, use_prior, use_cr):
-    y = y_ref[:]            # (BG, Sp)
-    mu = mu_ref[:]          # (BG, Sp)
-    xx = xx_ref[:]          # (Sp, p*p); padded rows zero
     pm = pm_ref[:]          # (BG, 1) prior mean (log alpha)
     s_valid = scal_ref[0]   # number of real samples
     prior_var = scal_ref[1]
     delta = scal_ref[2]     # coarse grid step
 
-    BG, Sp = y.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (BG, Sp), 1)
-    valid = col < s_valid.astype(jnp.int32)
-    fvalid = valid.astype(y.dtype)
-    n_valid = s_valid.astype(y.dtype)
+    BG, Sp = y_ref.shape
+    dtype = y_ref.dtype
+    n_valid = s_valid.astype(dtype)
+    n_chunks = Sp // _LANE
 
     def log_posterior(la):
-        """la: (BG,1) log alpha -> (BG,1) log posterior."""
+        """la: (BG,1) log alpha -> (BG,1) log posterior.
+
+        The samples axis is consumed in lane-width chunks read straight
+        from the VMEM refs so the Lanczos-lgamma temporaries are live
+        per chunk only — scoped-VMEM footprint independent of S (same
+        scheme as ops/pallas_ls.py)."""
         alpha = jnp.exp(la)
         inv_a = 1.0 / alpha
-        # log lik (cpp:52-56); lgamma(inv_a) hoisted out of the S-sum
-        ll = (jnp.sum(fvalid * (_lgamma_pos(y + inv_a)
-                                - y * jnp.log(mu + inv_a)
-                                - inv_a * jnp.log1p(mu * alpha)),
-                      axis=1, keepdims=True)
-              - n_valid * _lgamma_pos(inv_a))
+        # lgamma(inv_a) hoisted out of the S-sum (cpp:52-56)
+        ll = -n_valid * _lgamma_pos(inv_a)
+        b = None
+        for c in range(n_chunks):
+            sl = slice(c * _LANE, (c + 1) * _LANE)
+            y = y_ref[:, sl]
+            mu = mu_ref[:, sl]
+            col = jax.lax.broadcasted_iota(jnp.int32, (BG, _LANE), 1) \
+                + c * _LANE
+            fvalid = (col < s_valid.astype(jnp.int32)).astype(dtype)
+            ll = ll + jnp.sum(
+                fvalid * (_lgamma_pos(y + inv_a)
+                          - y * jnp.log(mu + inv_a)
+                          - inv_a * jnp.log1p(mu * alpha)),
+                axis=1, keepdims=True)
+            if use_cr:
+                w = 1.0 / (1.0 / mu + alpha)   # padded cols: xx row is 0
+                b_c = jnp.dot(w, xx_ref[sl, :],
+                              preferred_element_type=dtype)
+                b = b_c if b is None else b + b_c       # (BG, p*p)
         if use_cr:
-            w = 1.0 / (1.0 / mu + alpha)       # padded cols: xx row is 0
-            b = jnp.dot(w, xx, preferred_element_type=y.dtype)  # (BG,p*p)
             b_cols = [b[:, k:k + 1] for k in range(p * p)]
             ll = ll - 0.5 * _chol_logdet_cols(b_cols, p)
         if use_prior:
             ll = ll - 0.5 * (la - pm) ** 2 / prior_var
         return ll
 
-    neg_inf = jnp.full((BG, 1), -jnp.inf, dtype=y.dtype)
-    zero = jnp.zeros((BG, 1), dtype=y.dtype)
+    neg_inf = jnp.full((BG, 1), -jnp.inf, dtype=dtype)
+    zero = jnp.zeros((BG, 1), dtype=dtype)
 
     def argmax_scan(a_of_j):
         best_lp, best_a = neg_inf, zero
@@ -142,22 +155,28 @@ def _grid_kernel(y_ref, mu_ref, xx_ref, grid_ref, frac_ref, pm_ref,
             best_a = jnp.where(better, a_j, best_a)
         return best_a
 
-    ones = jnp.ones((BG, 1), dtype=y.dtype)
+    ones = jnp.ones((BG, 1), dtype=dtype)
     a_hat = argmax_scan(lambda j: grid_ref[j] * ones)
     # fine stage: grid_n points spanning a_hat +- delta (cpp:496-509)
     a_fine = argmax_scan(lambda j: a_hat - delta + 2.0 * delta * frac_ref[j])
     out_ref[:] = a_fine
 
 
+_MAX_CHUNKS = 16  # unrolled S-chunks per evaluation: caps compile size
+
+
 def pallas_grid_supported(S, p, dtype, use_weights=False,
-                          vmem_budget=8 * 1024 * 1024, block_g=256):
+                          vmem_budget=12 * 1024 * 1024, block_g=256):
     """Whether the Pallas grid kernel applies to this problem shape."""
     if use_weights or p > 8 or dtype == jnp.float64:
         return False
     Sp = -(-S // _LANE) * _LANE
+    if Sp // _LANE > _MAX_CHUNKS:
+        return False
     itemsize = jnp.dtype(dtype).itemsize
-    # y, mu, w + temporaries resident per block
-    return (4 * block_g * Sp + Sp * p * p) * itemsize < vmem_budget
+    # ~30 lane-width elementwise temporaries (live per S-chunk only)
+    # + double-buffered y/mu input blocks (2 arrays x 2)
+    return block_g * (30 * _LANE + 4 * Sp) * itemsize < vmem_budget
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -165,10 +165,13 @@ def _bh_adjust(p, valid):
 
 
 @partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "mesh", "cells",
-                                   "two_group", "min_replicates", "alpha"))
+                                   "two_group", "min_replicates", "alpha",
+                                   "reduced_intercept", "linear_mu"))
 def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         min_disp_pow=-8, mesh=None, cells=None,
-                        two_group=False, min_replicates=7, alpha=0.1):
+                        two_group=False, min_replicates=7, alpha=0.1,
+                        x_reduced=None, reduced_intercept=False,
+                        linear_mu=True):
     """counts: (G,S) int; x: (S,p); size_factors: (S,); grid: (20,) log
     alpha grid.  Returns per-gene results dict (log2 scale LFC/SE/stat/p,
     plus dispersions and diagnostics).
@@ -226,6 +229,25 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     use_irls_pallas = _use_pallas_irls(S, p, dtype)
     lam_nat = jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)
 
+    # LRT mode (reference nbinomLRT, R/core.R:1787-1897): fit the reduced
+    # model too; stat = 2(ll_full - ll_reduced) with the R-recomputed
+    # (unclamped-mu) log-likelihoods
+    lrt = reduced_intercept or x_reduced is not None
+    if x_reduced is not None:
+        x_reduced = x_reduced.astype(dtype)
+
+    from jax.scipy.special import gammaln
+
+    def nb_loglik(y_loc, mu, alpha_vec):
+        """Row NB log-likelihood at unclamped mu (nbinomLogLike,
+        R/core.R:2208-2230, weights-free path)."""
+        size = 1.0 / alpha_vec[:, None]
+        t = jnp.where(y_loc > 0.0,
+                      y_loc * jnp.log(mu / (size + mu)), 0.0)
+        return jnp.sum(gammaln(y_loc + size) - gammaln(size)
+                       - gammaln(y_loc + 1.0)
+                       + size * jnp.log(size / (size + mu)) + t, axis=1)
+
     # ======== per-gene chains (shard-local: no collectives inside) ========
 
     def chain_gene_est(y_loc):
@@ -246,10 +268,25 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         alpha_init = jnp.clip(jnp.where(jnp.isnan(alpha_init), min_disp,
                                         alpha_init), min_disp, max_disp)
 
-        # mu for dispersion fitting: LS projection * nf (linearMu fast
-        # path, exact for group-like designs; R/core.R:754-764)
-        mu_disp = jnp.maximum(_ls_fitted(norm_c, x) * sf[None, :], min_mu)
+        # mu for dispersion fitting (R/core.R:753-764): linearMu LS
+        # projection when #design-cells == #coefficients, else a GLM fit
+        # at the initial dispersions (mu recomputed unclamped in R,
+        # then clamped at minmu)
         y_safe = jnp.where(all_zero[:, None], 1.0, y_loc)
+        if linear_mu:
+            mu_disp = jnp.maximum(_ls_fitted(norm_c, x) * sf[None, :],
+                                  min_mu)
+        else:
+            b0 = chol_solve(x.T @ x, (jnp.log(norm_c + 0.1) @ x).T).T
+            if use_irls_pallas:
+                f0 = fit_beta_pallas(y_safe, x, sf, alpha_init, b0,
+                                     lam_nat, maxit=maxit, min_mu=min_mu)
+            else:
+                f0 = _fit_beta_core(
+                    y_safe, x, jnp.broadcast_to(sf[None, :], y_safe.shape),
+                    alpha_init, b0, lam_nat, maxit=maxit, min_mu=min_mu)
+            mu_disp = jnp.maximum(sf[None, :] * jnp.exp(f0["beta"] @ x.T),
+                                  min_mu)
         mu_safe = jnp.where(all_zero[:, None], 1.0, mu_disp)
 
         la0 = jnp.log(alpha_init)
@@ -353,11 +390,41 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         # (R/fitNbinomGLMs.R:180) — the minmu-clamped kernel mu is only
         # internal to the IRLS/hat computation
         mu_out = sf[None, :] * jnp.exp(fit["beta"] @ x.T)
-        return dict(disp_fit=disp_fit, disp_map=disp_map,
-                    disp_outlier=disp_outlier, dispersion=dispersion,
-                    beta=fit["beta"], beta_var=fit["beta_var"],
-                    beta_iter=fit["iter"], mu=mu_out,
-                    hat=fit["hat_diag"], deviance=fit["deviance"])
+        out = dict(disp_fit=disp_fit, disp_map=disp_map,
+                   disp_outlier=disp_outlier, dispersion=dispersion,
+                   beta=fit["beta"], beta_var=fit["beta_var"],
+                   beta_iter=fit["iter"], mu=mu_out,
+                   hat=fit["hat_diag"], deviance=fit["deviance"])
+        if lrt:
+            ll_full = nb_loglik(y_safe, mu_out, dispersion)
+            if reduced_intercept:
+                # intercept-only closed form (R/fitNbinomGLMs.R:99-137)
+                mu_red = est["norm_c"].mean(axis=1)[:, None] * sf[None, :]
+                ll_red = nb_loglik(y_safe, jnp.where(
+                    all_zero[:, None], 1.0, mu_red), dispersion)
+            else:
+                p_red = x_reduced.shape[1]
+                b0_red = chol_solve(
+                    x_reduced.T @ x_reduced,
+                    (jnp.log(est["norm_c"] + 0.1) @ x_reduced).T).T
+                lam_red = jnp.full(p_red, 1e-6 / LN2 ** 2, dtype=dtype)
+                if _use_pallas_irls(S, p_red, dtype):
+                    fit_red = fit_beta_pallas(y_safe, x_reduced, sf,
+                                              dispersion, b0_red, lam_red,
+                                              maxit=maxit, min_mu=min_mu)
+                else:
+                    fit_red = _fit_beta_core(
+                        y_safe, x_reduced,
+                        jnp.broadcast_to(sf[None, :], y_safe.shape),
+                        dispersion, b0_red, lam_red, maxit=maxit,
+                        min_mu=min_mu)
+                mu_red = sf[None, :] * jnp.exp(fit_red["beta"]
+                                               @ x_reduced.T)
+                ll_red = nb_loglik(y_safe, mu_red, dispersion)
+            out["ll_full"] = ll_full
+            out["ll_reduced"] = ll_red
+            out["deviance"] = -2.0 * ll_full
+        return out
 
     # ======== main path ========
 
@@ -401,7 +468,11 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                                trimmed_mean_dev)
         cutoff99 = float(f_dist.ppf(0.99, p, S - p))
         norm_counts = y / sf[None, :]
-        cooks = cooks_distance_dev(y, norm_counts, mu, hat, cells, p)
+        # nbinomWaldTest refreshes objectNZ's mu before Cook's; nbinomLRT
+        # does not, so LRT Cook's sees the gene-est mu (R/core.R:1436 vs
+        # 1888/1959)
+        mu_cooks = est["mu_safe"] if lrt else mu
+        cooks = cooks_distance_dev(y, norm_counts, mu_cooks, hat, cells, p)
         cooks = jnp.where(all_zero[:, None], jnp.nan, cooks)
         max_cooks = max_cooks_dev(cooks, cells, p)
 
@@ -441,11 +512,12 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                     est2 = chain_gene_est(y_blk)
                     post2 = chain_post_trend(est2, c0, c1, pv, vld)
                     cooks2 = cooks_distance_dev(
-                        y_blk, est2["norm_c"], post2["mu"], post2["hat"],
-                        cells, p)
+                        y_blk, est2["norm_c"],
+                        est2["mu_safe"] if lrt else post2["mu"],
+                        post2["hat"], cells, p)
                     cooks2 = jnp.where(est2["all_zero"][:, None], jnp.nan,
                                        cooks2)
-                    return dict(
+                    d = dict(
                         disp_gene_est=est2["disp_gene_est"],
                         disp_fit=post2["disp_fit"],
                         disp_map=post2["disp_map"],
@@ -455,6 +527,10 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         beta_iter=post2["beta_iter"], mu=post2["mu"],
                         hat=post2["hat"], deviance=post2["deviance"],
                         cooks=cooks2)
+                    if lrt:
+                        d["ll_full"] = post2["ll_full"]
+                        d["ll_reduced"] = post2["ll_reduced"]
+                    return d
 
                 def splice(new, sel):
                     return {k: jnp.where(
@@ -496,6 +572,9 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         beta=beta_nat, beta_var=beta_var,
                         beta_iter=beta_iter, mu=mu, hat=hat,
                         deviance=deviance, cooks=cooks)
+            if lrt:
+                tmpl["ll_full"] = post["ll_full"]
+                tmpl["ll_reduced"] = post["ll_reduced"]
             spl = smap(chain_refit,
                        (gP, gP, {k: gP for k in tmpl}, rP, rP, rP, rP))(
                 y_new, need, tmpl, coefs[0], coefs[1], disp_prior_var,
@@ -507,6 +586,9 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             beta_nat, beta_var = spl["beta"], spl["beta_var"]
             beta_iter, mu, hat = spl["beta_iter"], spl["mu"], spl["hat"]
             deviance = spl["deviance"]
+            if lrt:
+                post = dict(post, ll_full=spl["ll_full"],
+                            ll_reduced=spl["ll_reduced"])
 
             # maxCooks after refit (R/core.R:2540-2551), only when a
             # refit actually ran (some replaced row is not newly zero):
@@ -529,10 +611,20 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
     # ---- default-contrast results tail: Cook's masking, zeroed rows,
     # independent filtering (R/results.R:520-575, 638-718) ----
-    p_last = jnp.where(all_zero, jnp.nan, wald_p[:, -1])
+    if lrt:
+        from jax.scipy.special import gammaincc
+        df = p - (1 if reduced_intercept else x_reduced.shape[1])
+        lrt_stat = 2.0 * (post["ll_full"] - post["ll_reduced"])
+        lrt_p = gammaincc(jnp.asarray(df / 2.0, dtype), lrt_stat / 2.0)
+        stat_last = jnp.where(all_zero, jnp.nan, lrt_stat)
+        p_last = jnp.where(all_zero, jnp.nan, lrt_p)
+        out["LRTStatistic"] = stat_last
+        out["LRTPvalue"] = p_last
+    else:
+        p_last = jnp.where(all_zero, jnp.nan, wald_p[:, -1])
+        stat_last = jnp.where(all_zero, jnp.nan, wald_stat[:, -1])
     lfc_last = jnp.where(all_zero, jnp.nan, beta_log2[:, -1])
     se_last = jnp.where(all_zero, jnp.nan, se_log2[:, -1])
-    stat_last = jnp.where(all_zero, jnp.nan, wald_stat[:, -1])
 
     if max_cooks is not None:
         cooks_outlier = jnp.where(jnp.isnan(max_cooks), False,
@@ -592,9 +684,27 @@ def design_cells(x):
     return tuple(seen.setdefault(r, len(seen)) for r in rows)
 
 
+def _reduced_args(reduced):
+    """Map a `reduced` spec to (x_reduced array or None, intercept flag)."""
+    import numpy as np
+    if reduced is None:
+        return None, False
+    if isinstance(reduced, str):
+        if reduced.replace(" ", "") not in ("~1", "1", "intercept"):
+            raise ValueError("fused LRT accepts reduced='~ 1' or a model "
+                             "matrix")
+        return None, True
+    reduced = np.asarray(reduced, dtype=np.float64)
+    # the reference short-circuits a 1-column all-ones matrix to the
+    # intercept closed form too (R/fitNbinomGLMs.R:99-104)
+    if reduced.shape[1] == 1 and np.all(reduced == 1.0):
+        return None, True
+    return reduced, False
+
+
 def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                       min_disp=1e-8, cells=None, two_group=False,
-                      alpha=0.1):
+                      alpha=0.1, reduced=None):
     """Run the fused pipeline with the genes axis sharded over `mesh`."""
     import numpy as np
     from .sharding import pad_to_multiple, replicated, shard_genes
@@ -609,24 +719,32 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
     grid = np.linspace(np.log(min_disp),
                        np.log(max(10.0, counts.shape[1])), 20)
     grid_d = jax.device_put(grid, rep)
+    x_red, red_int = _reduced_args(reduced)
+    if x_red is not None:
+        x_red = jax.device_put(x_red, rep)
+    x_np = np.asarray(x)
+    lin_mu = len({tuple(r) for r in x_np}) == x_np.shape[1]
     out = fused_wald_pipeline(counts_d, x_d, sf_d, grid_d, maxit=maxit,
                               mesh=mesh if n_dev > 1 else None,
-                              cells=cells, two_group=two_group, alpha=alpha)
+                              cells=cells, two_group=two_group, alpha=alpha,
+                              x_reduced=x_red, reduced_intercept=red_int,
+                              linear_mu=lin_mu)
     return {k: np.asarray(v)[:G] if np.ndim(v) and np.shape(v)[0] ==
             counts_p.shape[0] else np.asarray(v) for k, v in out.items()}
 
 
 def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                   alpha=0.1, independent_filtering=True, mesh=None,
-                  two_group=False, min_replicates=7, devices=None):
-    """Full default-contrast DESeq Wald results via the fused pipeline.
+                  two_group=False, min_replicates=7, devices=None,
+                  reduced=None):
+    """Full default-contrast DESeq results via the fused pipeline.
 
     Equivalent of deseq() + results() for the default bulk configuration
-    (last-coefficient Wald contrast, parametric trend, no weights): runs
-    the on-device pipeline (incl. Cook's masking, outlier refit, and the
-    filtered-BH theta grid), then finishes independent filtering's
-    50-scalar lowess cutoff choice on host (R/results.R:661-698) and
-    returns the results-table columns."""
+    (last-coefficient Wald contrast — or the LRT against `reduced` — with
+    parametric trend, no weights): runs the on-device pipeline (incl.
+    Cook's masking, outlier refit, and the filtered-BH theta grid), then
+    finishes independent filtering's 50-scalar lowess cutoff choice on
+    host (R/results.R:661-698) and returns the results-table columns."""
     import numpy as np
     from ..results import choose_filter_theta
 
@@ -638,33 +756,44 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
         out = run_fused_sharded(np.asarray(counts), x_np, size_factors,
                                 mesh, maxit=maxit, min_disp=min_disp,
                                 cells=cells, two_group=two_group,
-                                alpha=alpha)
-        fetch = lambda v: v
+                                alpha=alpha, reduced=reduced)
     else:
+        x_red, red_int = _reduced_args(reduced)
+        lin_mu = len(set(cells)) == x_np.shape[1]
         # counts may already live on device — jnp.asarray is then a no-op
         out = fused_wald_pipeline(jnp.asarray(counts), jnp.asarray(x_np),
                                   jnp.asarray(np.asarray(size_factors)),
                                   jnp.asarray(grid), maxit=maxit,
                                   cells=cells, two_group=two_group,
-                                  alpha=alpha)
-        fetch = lambda v: np.asarray(v)
+                                  alpha=alpha,
+                                  x_reduced=None if x_red is None
+                                  else jnp.asarray(x_red),
+                                  reduced_intercept=red_int,
+                                  linear_mu=lin_mu)
 
-    res = dict(baseMean=fetch(out["baseMean"]),
-               log2FoldChange=fetch(out["lfcLast"]),
-               lfcSE=fetch(out["seLast"]), stat=fetch(out["statLast"]),
-               pvalue=fetch(out["pvalueLast"]))
-    if independent_filtering:
-        num_rej = fetch(out["filterNumRej"])
-        theta = fetch(out["filterTheta"])
-        j, lx, lo_y = choose_filter_theta(theta, num_rej)
-        res["padj"] = fetch(out["filterPadj"][j])
-        res["filterThreshold"] = float(fetch(out["filterCutoffs"])[j])
-        res["filterTheta"] = float(theta[j])
-        res["filterNumRej"] = num_rej
-    else:
-        res["padj"] = fetch(out["padjLast"])
+    # two host round-trips total: the 50-scalar filtering stats (to pick
+    # the lowess cutoff), then one batched device_get of all columns —
+    # per-array np.asarray fetches over the device tunnel would serialize
+    # a dozen latencies
+    cols = dict(baseMean=out["baseMean"], log2FoldChange=out["lfcLast"],
+                lfcSE=out["seLast"], stat=out["statLast"],
+                pvalue=out["pvalueLast"])
     for k in ("dispGeneEst", "dispFit", "dispersion", "maxCooks",
               "replace", "betaConv", "allZero"):
         if k in out:
-            res[k] = fetch(out[k])
+            cols[k] = out[k]
+    if independent_filtering:
+        small = jax.device_get(dict(num_rej=out["filterNumRej"],
+                                    theta=out["filterTheta"],
+                                    cutoffs=out["filterCutoffs"]))
+        num_rej, theta = small["num_rej"], small["theta"]
+        j, lx, lo_y = choose_filter_theta(theta, num_rej)
+        cols["padj"] = out["filterPadj"][j]
+        res = jax.device_get(cols)
+        res["filterThreshold"] = float(small["cutoffs"][j])
+        res["filterTheta"] = float(theta[j])
+        res["filterNumRej"] = num_rej
+    else:
+        cols["padj"] = out["padjLast"]
+        res = jax.device_get(cols)
     return res

@@ -47,8 +47,16 @@ def lfc_shrink(dds, coef=None, contrast=None, res=None, type="apeglm",
     coef_alpha = None
     if coef is not None:
         if isinstance(coef, (int, np.integer)):
-            # R is 1-based; accept both string and index. We use 0-based.
-            coef_num = int(coef)
+            # 1-based like the reference (R/lfcShrink.R:206-215) so that
+            # reference scripts port unchanged; coef=0 is a loud error
+            # rather than a silent off-by-one
+            if coef < 1:
+                raise ValueError(
+                    "numeric coef is 1-based as in the reference "
+                    "(lfcShrink(dds, coef=2) is the first non-intercept "
+                    "coefficient); use a name from results_names() to be "
+                    "explicit")
+            coef_num = int(coef) - 1
             coef_alpha = res_names[coef_num]
         else:
             coef_alpha = coef

@@ -23,3 +23,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "slow: multi-process / large-shape tests")

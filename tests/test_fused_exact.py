@@ -78,3 +78,52 @@ def test_outlier_refit_matches_host():
     _cmp(res["log2FoldChange"], fres["log2FoldChange"], "log2FoldChange")
     _cmp(res["pvalue"], fres["pvalue"], "pvalue")
     _cmp(res["padj"], fres["padj"], "padj")
+
+
+def test_lrt_fused_matches_host():
+    """Fused LRT mode == host deseq(test='LRT', reduced=~1)."""
+    dds = dt.make_example_dataset(n=300, m=12, beta_sd=1.0, seed=11)
+    dds = dt.deseq(dds, test="LRT", reduced="~ 1")
+    res = dt.results(dds)
+    fres = fused_results(np.asarray(dds.counts), dds.attrs["modelMatrix"],
+                         dds.size_factors, two_group=True, reduced="~ 1")
+    _cmp(res["baseMean"], fres["baseMean"], "baseMean")
+    _cmp(res["log2FoldChange"], fres["log2FoldChange"], "log2FoldChange")
+    _cmp(res["stat"], fres["stat"], "LRT stat")
+    _cmp(res["pvalue"], fres["pvalue"], "LRT pvalue")
+    _cmp(res["padj"], fres["padj"], "padj")
+    _cmp(dds.row_data["maxCooks"], fres["maxCooks"], "maxCooks")
+
+
+def test_lrt_fused_matrix_reduced():
+    """Fused LRT with an explicit reduced model matrix == host LRT with
+    the same matrices.  (reduced=~1 instead takes the reference's
+    intercept closed form, which is NOT the penalized MLE when size
+    factors vary — a reference quirk both paths reproduce.)"""
+    dds = dt.make_example_dataset(n=200, m=12, beta_sd=1.0, seed=12)
+    dds = dt.estimate_size_factors(dds)
+    x_full, _ = dds.model_matrix()
+    x_red = np.ones((12, 1))
+    dds = dt.deseq(dds, full=x_full, reduced=x_red, test="LRT")
+    res = dt.results(dds)
+    fres = fused_results(np.asarray(dds.counts), x_full,
+                         dds.size_factors, two_group=True, reduced=x_red)
+    _cmp(res["baseMean"], fres["baseMean"], "baseMean")
+    _cmp(res["stat"], fres["stat"], "LRT stat")
+    _cmp(res["pvalue"], fres["pvalue"], "LRT pvalue")
+
+
+def test_lrt_fused_multicolumn_reduced():
+    """Fused LRT with a 2-column reduced matrix (reduced IRLS path)."""
+    dds = dt.make_example_dataset(n=200, m=12, beta_sd=1.0, seed=13)
+    batch = dt.Factor(np.tile(["1", "2"], 6), levels=["1", "2"])
+    dds.col_data["batch"] = batch
+    dds.design = dt.parse_formula("~ batch + condition")
+    x_full, _ = dds.model_matrix()
+    x_red = x_full[:, :2]
+    dds = dt.deseq(dds, full=x_full, reduced=x_red, test="LRT")
+    res = dt.results(dds)
+    fres = fused_results(np.asarray(dds.counts), x_full,
+                         dds.size_factors, reduced=x_red)
+    _cmp(res["stat"], fres["stat"], "LRT stat")
+    _cmp(res["pvalue"], fres["pvalue"], "LRT pvalue")

@@ -89,9 +89,14 @@ def test_lfc_threshold_fsos(fitted):
 def test_coef_forms(fitted):
     dds, res = fitted
     a = lfc_shrink(dds, coef="condition_B_vs_A", res=res, type="ashr")
-    b = lfc_shrink(dds, coef=1, res=res, type="ashr")
+    # numeric coef is 1-based as in the reference: coef=2 is the first
+    # non-intercept coefficient
+    b = lfc_shrink(dds, coef=2, res=res, type="ashr")
     np.testing.assert_allclose(a.log2_fold_change, b.log2_fold_change,
                                equal_nan=True)
+    import pytest
+    with pytest.raises(ValueError, match="1-based"):
+        lfc_shrink(dds, coef=0, res=res, type="ashr")
 
 
 def test_apeglm_requires_coef(fitted):
