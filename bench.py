@@ -50,6 +50,46 @@ def make_inputs(G, S, seed=0):
     return counts, x, sf, grid
 
 
+def main_sc():
+    """Single-cell config (BASELINE #5): BENCH_SC=1, 30k genes x 50k
+    cells by default.  Streams the sample axis (parallel/sc.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deseq2_tpu.parallel.sc import fused_sc_pipeline
+
+    Gs = int(os.environ.get("BENCH_GENES", 30000))
+    Ss = int(os.environ.get("BENCH_SAMPLES", 50000))
+    rng = np.random.default_rng(0)
+    cells = (np.arange(Ss) % 2).astype(np.int32)
+    mu0 = np.maximum(2.0 ** rng.normal(-1.0, 2.0, Gs), 0.01)  # UMI-scale
+    disp = np.minimum(4.0 / mu0 + 0.3, 20.0)
+    counts = rng.negative_binomial(
+        1.0 / disp[:, None],
+        1.0 / (1.0 + disp[:, None] * mu0[:, None] * np.ones((1, Ss)))
+    ).astype(np.int32)
+    sf = np.ones(Ss)
+    grid = np.linspace(np.log(1e-8), np.log(max(10.0, Ss)), 20)
+    counts_d = jnp.asarray(counts)
+    args = (counts_d, jnp.asarray(cells), jnp.asarray(sf, jnp.float32),
+            jnp.asarray(grid, jnp.float32))
+
+    def run_sync():
+        out = fused_sc_pipeline(*args, n_groups=2)
+        return np.asarray(out["stat"])
+
+    run_sync()
+    t0 = time.perf_counter()
+    stat = run_sync()
+    dt = time.perf_counter() - t0
+    assert np.isfinite(stat).any()
+    print(json.dumps({
+        "metric": f"deseq_sc_genes_per_sec_{Gs}x{Ss}",
+        "value": round(Gs / dt, 1), "unit": "genes/s/chip",
+        "vs_baseline": round(Gs / dt / BASELINE_GENES_PER_SEC, 2),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -87,4 +127,4 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_sc() if os.environ.get("BENCH_SC") == "1" else main())

@@ -146,13 +146,20 @@ def _grid_kernel(y_ref, mu_ref, xx_ref, grid_ref, frac_ref, pm_ref,
     zero = jnp.zeros((BG, 1), dtype=dtype)
 
     def argmax_scan(a_of_j):
-        best_lp, best_a = neg_inf, zero
-        for j in range(grid_n):
+        # fori_loop, not an unrolled Python loop: the grid evaluations
+        # are independent, and unrolled they interleave in the schedule
+        # so every evaluation's chunk temporaries are live at once —
+        # scoped-VMEM OOM at wide S.  The loop sequences them.
+        def body(j, carry):
+            best_lp, best_a = carry
             a_j = a_of_j(j)
             lp = log_posterior(a_j)
             better = lp > best_lp          # strict: first max wins
             best_lp = jnp.where(better, lp, best_lp)
             best_a = jnp.where(better, a_j, best_a)
+            return best_lp, best_a
+
+        _, best_a = jax.lax.fori_loop(0, grid_n, body, (neg_inf, zero))
         return best_a
 
     ones = jnp.ones((BG, 1), dtype=dtype)

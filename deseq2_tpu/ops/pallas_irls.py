@@ -267,7 +267,7 @@ def _block_g(Sp, itemsize, vmem_budget=12 * 1024 * 1024):
     Per-gene bytes ~ 50 lane-width elementwise temporaries (live per
     S-chunk only) + double-buffered y input and mu/hat output blocks
     (3 arrays x 2) + the resident mu scratch + slack for nf."""
-    per_gene = (50 * _LANE + 9 * Sp) * itemsize
+    per_gene = (70 * _LANE + 9 * Sp) * itemsize
     bg = 512
     while bg >= 64 and bg * per_gene > vmem_budget:
         bg //= 2

@@ -274,9 +274,10 @@ def pallas_ls_supported(S, p, dtype, use_weights=False,
 def _block_g(Sp, itemsize, vmem_budget=12 * 1024 * 1024):
     """Largest power-of-two gene block fitting scoped VMEM.
 
-    Per-gene bytes ~ 50 lane-width elementwise temporaries (live per
-    S-chunk only) + double-buffered y/mu input blocks (2 arrays x 2)."""
-    per_gene = (50 * _LANE + 4 * Sp) * itemsize
+    Per-gene bytes ~ 70 lane-width elementwise temporaries (live per
+    S-chunk only; measured ~64 on v5e) + double-buffered y/mu input
+    blocks (2 arrays x 2)."""
+    per_gene = (70 * _LANE + 4 * Sp) * itemsize
     bg = 1024
     while bg >= 64 and bg * per_gene > vmem_budget:
         bg //= 2

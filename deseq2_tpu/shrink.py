@@ -279,8 +279,18 @@ def _shrink_apeglm(dds, coef_num, coef_alpha, res, lfc_threshold, svalue,
     disps = np.where(np.isnan(disps), 1.0, disps)
     nf = obj.size_or_norm_factors()
     weights = obj.assays.get("weights")
-    # adaptive prior scale from the MLEs (natural-log scale): signal
-    # variance by moments, matching apeglm's adaptive prior
+    # Adaptive Cauchy prior scale from the MLEs (natural-log scale),
+    # following the moment-matching idea of Zhu, Ibrahim & Love (2018):
+    # E[betahat^2] = E[beta^2] + E[se^2], so the positive excess
+    # betahat^2 - se^2 estimates the per-gene signal variance; the prior
+    # scale is the RMS of the positive excesses, capped at 1 (natural
+    # log) as in apeglm's default adaptive prior.
+    # NOTE: this is the same prior FAMILY as apeglm (Cauchy, prior.df=1,
+    # no.shrink normals at scale 15) but not a line-for-line port of
+    # apeglm's priorVar() estimator, which could not be consulted or
+    # validated in this build environment (no R / apeglm available);
+    # posterior modes agree with apeglm qualitatively (see
+    # tests/test_shrink.py behavioral checks), not numerically.
     mle = LN2 * np.column_stack([res.log2_fold_change, res.lfc_se])
     fin = np.isfinite(mle[:, 0]) & np.isfinite(mle[:, 1])
     var_est = mle[fin, 0] ** 2 - mle[fin, 1] ** 2
@@ -288,10 +298,8 @@ def _shrink_apeglm(dds, coef_num, coef_alpha, res, lfc_threshold, svalue,
     if pos.sum() == 0:
         prior_scale = 1.0
     else:
-        # apeglm: scale such that the prior matches the upper signal
-        # quantile; use sqrt of mean positive excess variance
         prior_scale = float(np.sqrt(np.mean(var_est[pos])))
-    prior_scale = min(prior_scale, 15.0)
+    prior_scale = min(prior_scale, 1.0)
 
     beta_init = None
     # initialize at the MLE fit (natural log scale) when available

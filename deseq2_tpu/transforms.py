@@ -10,6 +10,7 @@ from __future__ import annotations
 import warnings
 
 import numpy as np
+from scipy.special import gammaln
 
 from .dispersions import (estimate_dispersions_fit,
                           estimate_dispersions_gene_est,
@@ -180,6 +181,86 @@ def rlog(dds, blind=True, intercept=None, beta_prior_var=None,
     return t
 
 
+def _rlog_arrow_irls(y, nf, alpha, lam0_nat, lam1_nat, has_intercept,
+                     tol=1e-4, maxit=100, min_mu=0.5):
+    """Ridge IRLS specialized to the rlog design (SURVEY hard part 6).
+
+    The rlog model matrix is [1 | I_S] (intercept + one indicator per
+    sample; R/rlog.R:190-196), so X'WX + diag(ridge) is an ARROW matrix
+    [[a00, w'], [w, diag(w)+lam1]] and each IRLS sweep solves it in
+    O(S) per gene by block elimination (Schur complement of the
+    diagonal block) instead of the O(S^3) dense solve the generic
+    (S+1)-column path would cost.  With a frozen intercept the design
+    is I_S and the system is fully diagonal.
+
+    Same update/convergence rules as ops/irls.py (src/DESeq2.cpp:282-465,
+    deviance-relative tol; |beta|>30 divergence guard).  Natural-log
+    scale throughout; returns (xbeta (G,S), intercept (G,), iters)."""
+    G, S = y.shape
+    y = np.asarray(y, dtype=np.float64)
+    nf = np.asarray(nf, dtype=np.float64)
+    alpha = np.asarray(alpha, dtype=np.float64)[:, None]
+    size = 1.0 / alpha
+    norm_c = y / nf
+
+    if has_intercept:
+        # rank-deficient design: init = intercept-only (glm.py rule)
+        with np.errstate(divide="ignore"):
+            b0 = np.log(norm_c.mean(axis=1))
+        b0 = np.where(np.isfinite(b0), b0, 0.0)
+        bs = np.zeros((G, S))
+    else:
+        b0 = np.zeros(G)
+        bs = np.log(norm_c + 0.1)
+
+    def mu_of(b0v, bsv):
+        return np.maximum(nf * np.exp(b0v[:, None] + bsv), min_mu)
+
+    def deviance(mu):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(y > 0, y * (np.log(mu) - np.log(size + mu)), 0.0)
+            core = (gammaln(y + size) - gammaln(size) - gammaln(y + 1.0)
+                    + size * np.log(size / (size + mu)) + t)
+        return -2.0 * core.sum(axis=1)
+
+    mu = mu_of(b0, bs)
+    dev_old = np.zeros(G)
+    active = np.ones(G, bool)
+    iters = np.zeros(G, np.int64)
+    for t_it in range(maxit):
+        if not active.any():
+            break
+        iters[active] += 1
+        w = mu / (1.0 + alpha * mu)
+        z = np.log(mu / nf) + (y - mu) / mu
+        rs = w * z
+        if has_intercept:
+            d = w + lam1_nat
+            swd = (w * w / d).sum(axis=1)
+            schur = w.sum(axis=1) + lam0_nat - swd
+            b0_new = (rs.sum(axis=1) - (w * rs / d).sum(axis=1)) / schur
+            bs_new = (rs - w * b0_new[:, None]) / d
+        else:
+            b0_new = b0
+            bs_new = rs / (w + lam1_nat)
+        absmax = np.maximum(np.abs(b0_new), np.abs(bs_new).max(axis=1))
+        diverged = absmax > 30.0
+        upd = active
+        b0 = np.where(upd, b0_new, b0)
+        bs = np.where(upd[:, None], bs_new, bs)
+        cont = active & ~diverged
+        mu_new = mu_of(b0_new, bs_new)
+        mu = np.where(cont[:, None], mu_new, mu)
+        dev_new = deviance(mu_new)
+        with np.errstate(invalid="ignore"):
+            conv_test = np.abs(dev_new - dev_old) / (np.abs(dev_new) + 0.1)
+        bad = np.isnan(conv_test)
+        converged = (t_it > 0) & (conv_test < tol)
+        active = cont & ~bad & ~converged
+        dev_old = np.where(cont, dev_new, dev_old)
+    return b0[:, None] + bs if has_intercept else bs, b0, iters
+
+
 def rlog_data(dds, intercept=None, beta_prior_var=None):
     """Shrunken per-sample log2 fits (reference rlogData,
     R/rlog.R:172-272).
@@ -229,26 +310,25 @@ def rlog_data(dds, intercept=None, beta_prior_var=None):
         beta_prior_var = match_weighted_upper_quantile_for_variance(
             lfc_matrix.ravel(order="F"),
             np.tile(weights, obj_nz.n_samples))
-    lam = np.full(model_matrix.shape[1], 1.0 / beta_prior_var)
-    if "Intercept" in model_matrix_names:
-        lam[model_matrix_names.index("Intercept")] = 1e-6
-
-    fit = fit_nbinom_glms(obj_nz, model_matrix=model_matrix,
-                          model_matrix_names=model_matrix_names,
-                          lam=lam, rename_cols=False,
-                          alpha_hat=obj_nz.row_data["dispFit"],
-                          beta_tol=1e-4, use_optim=False, use_qr=True)
-    normalized_data_nz = fit["beta_matrix"] @ model_matrix.T
+    # log2-scale ridge -> natural scale, as fitNbinomGLMs does
+    # (R/fitNbinomGLMs.R:157-162)
+    has_intercept = "Intercept" in model_matrix_names
+    lam1_nat = (1.0 / beta_prior_var) / (np.log(2.0) ** 2)
+    lam0_nat = 1e-6 / (np.log(2.0) ** 2)
+    nf = obj_nz.size_or_norm_factors()
+    xbeta_nat, b0_nat, _ = _rlog_arrow_irls(
+        obj_nz.counts, nf, obj_nz.row_data["dispFit"],
+        lam0_nat, lam1_nat, has_intercept, tol=1e-4)
+    normalized_data_nz = np.log2(np.e) * xbeta_nat
     normalized_data = np.zeros((dds.n_genes, S))
     normalized_data[nz] = normalized_data_nz
     fitted_intercept = None
     if intercept is not None:
         normalized_data = normalized_data + \
             np.where(infinite_intercept, 0.0, intercept)[:, None]
-    elif "Intercept" in model_matrix_names:
-        j = model_matrix_names.index("Intercept")
+    elif has_intercept:
         fitted_intercept = np.full(dds.n_genes, -np.inf)
-        fitted_intercept[nz] = fit["beta_matrix"][:, j]
+        fitted_intercept[nz] = np.log2(np.e) * b0_nat
     return normalized_data, beta_prior_var, fitted_intercept
 
 

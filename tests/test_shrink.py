@@ -113,3 +113,35 @@ def test_normal_via_contrast(fitted):
     ok = np.isfinite(shr.log2_fold_change)
     assert np.abs(shr.log2_fold_change[ok]).mean() < \
         np.abs(res.log2_fold_change[ok]).mean()
+
+
+def test_apeglm_behavioral_contract():
+    """apeglm-style shrinkage behavioral invariants (Zhu et al. 2018):
+    large well-supported LFCs are preserved, small/noisy LFCs shrink
+    toward zero, and the posterior mode lies between 0 and the MLE."""
+    dds = make_example_dataset(n=400, m=10, beta_sd=1.5, seed=31)
+    dds = deseq(dds)
+    res = results(dds)
+    shr = lfc_shrink(dds, coef="condition_B_vs_A", res=res, type="apeglm")
+    mle = np.asarray(res.log2_fold_change, float)
+    map_ = np.asarray(shr.log2_fold_change, float)
+    se = np.asarray(res.lfc_se, float)
+    ok = np.isfinite(mle) & np.isfinite(map_) & np.isfinite(se)
+    # posterior mode between 0 and the MLE (allow epsilon for the
+    # mode of the joint fit moving other coefficients slightly)
+    between = (np.sign(map_[ok]) * np.sign(mle[ok]) >= 0) & \
+        (np.abs(map_[ok]) <= np.abs(mle[ok]) + 0.05)
+    assert between.mean() > 0.97
+    # strong signals (|stat| > 6) keep >=70% of their LFC
+    strong = ok & (np.abs(mle / se) > 6)
+    if strong.sum() > 3:
+        keep = np.abs(map_[strong]) / np.abs(mle[strong])
+        assert np.median(keep) > 0.7
+    # noisy estimates (|stat| < 1) shrink markedly more than strong
+    # ones (the Cauchy is heavy-tailed, so absolute shrinkage of noisy
+    # genes is milder than a normal prior's — compare ratios instead)
+    noisy = ok & (np.abs(mle / se) < 1) & (np.abs(mle) > 0.1)
+    if noisy.sum() > 3 and strong.sum() > 3:
+        shrunk = np.abs(map_[noisy]) / np.abs(mle[noisy])
+        assert np.median(shrunk) < np.median(keep) - 0.1
+        assert np.median(shrunk) < 0.85

@@ -122,3 +122,45 @@ def test_rlog_all_zero_rows():
     dds.counts[5] = 0
     rld = rlog(dds, blind=True)
     np.testing.assert_array_equal(rld.matrix[5], 0.0)
+
+
+def test_rlog_arrow_equals_dense_solver():
+    """The O(S) arrow-structured rlog IRLS reaches the same penalized
+    optimum as the generic dense (S+1)-column fitBeta path."""
+    from deseq2_tpu.glm import fit_nbinom_glms
+    from deseq2_tpu.transforms import _rlog_arrow_irls
+    from deseq2_tpu import (estimate_dispersions_fit,
+                            estimate_dispersions_gene_est)
+    dds = make_example_dataset(n=80, m=10, seed=9)
+    dds = estimate_size_factors(dds)
+    dds = estimate_dispersions_gene_est(dds)
+    dds = estimate_dispersions_fit(dds)
+    nz = ~dds.row_data["allZero"]
+    obj = dds.subset_genes(nz)
+    S = obj.n_samples
+    mm = np.column_stack([np.ones(S), np.eye(S)])
+    names = ["Intercept"] + [f"samples{j+1}" for j in range(S)]
+    pv = 0.5
+    lam = np.full(S + 1, 1.0 / pv)
+    lam[0] = 1e-6
+    fit = fit_nbinom_glms(obj, model_matrix=mm, model_matrix_names=names,
+                          lam=lam, rename_cols=False,
+                          alpha_hat=obj.row_data["dispFit"],
+                          beta_tol=1e-4, use_optim=False, use_qr=True)
+    dense = fit["beta_matrix"] @ mm.T          # log2 fitted values
+    xbeta, b0, _ = _rlog_arrow_irls(
+        obj.counts, obj.size_or_norm_factors(), obj.row_data["dispFit"],
+        1e-6 / np.log(2.0) ** 2, (1.0 / pv) / np.log(2.0) ** 2, True)
+    arrow = np.log2(np.e) * xbeta
+    np.testing.assert_allclose(arrow, dense, rtol=1e-4, atol=1e-4)
+
+
+def test_rlog_scales_to_many_samples():
+    """rlog at S=400 completes quickly (was O(S^3)/gene before)."""
+    import time
+    dds = make_example_dataset(n=200, m=400, seed=10)
+    t0 = time.perf_counter()
+    tr = rlog(dds)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(tr.matrix).all()
+    assert dt < 60.0
