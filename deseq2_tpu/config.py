@@ -46,3 +46,13 @@ class DESeqConfig:
 
 
 DEFAULT = DESeqConfig()
+
+
+def cfg(value, field, config=None):
+    """Resolve a pipeline argument: an explicit value wins, otherwise the
+    field from `config` (or the module DEFAULT).  Pipeline functions
+    declare their tunables as None and resolve through here so the
+    dataclass is the single source of the reference defaults."""
+    if value is not None:
+        return value
+    return getattr(config or DEFAULT, field)

@@ -18,13 +18,17 @@ from . import profiling
 
 def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
           beta_prior=False, full=None, reduced=None, quiet=True,
-          min_replicates_for_replace=7, model_matrix_type=None,
-          use_t=False, minmu=None):
+          min_replicates_for_replace=None, model_matrix_type=None,
+          use_t=False, minmu=None, config=None):
     """size factors -> dispersions -> Wald or LRT -> outlier refit.
 
     Mirrors the reference's argument checking and stage sequencing
-    (R/core.R:288-432).
+    (R/core.R:288-432).  `config` (a DESeqConfig) supplies any tunables
+    not given explicitly and is threaded through every stage.
     """
+    from .config import cfg
+    min_replicates_for_replace = cfg(min_replicates_for_replace,
+                                     "min_replicates_for_replace", config)
     if test not in ("Wald", "LRT"):
         raise ValueError("test must be 'Wald' or 'LRT'")
     if fit_type not in ("parametric", "local", "mean", "glmGamPoi"):
@@ -110,20 +114,21 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
 
     with profiling.stage("estimateDispersions", genes=G):
         dds = estimate_dispersions(dds, fit_type=fit_type, quiet=quiet,
-                                   model_matrix=model_matrix, min_mu=minmu)
+                                   model_matrix=model_matrix, min_mu=minmu,
+                                   config=config)
     if test == "Wald":
         with profiling.stage("nbinomWaldTest", genes=G):
             dds = nbinom_wald_test(dds, beta_prior=beta_prior, quiet=quiet,
                                    model_matrix=model_matrix,
                                    model_matrix_type=model_matrix_type,
-                                   use_t=use_t, min_mu=minmu)
+                                   use_t=use_t, min_mu=minmu, config=config)
     else:
         with profiling.stage("nbinomLRT", genes=G):
             dds = nbinom_lrt(dds,
                              full=full if full is not None else dds.design,
                              reduced=reduced, quiet=quiet, min_mu=minmu,
                              type=("glmGamPoi" if fit_type == "glmGamPoi"
-                                   else "DESeq2"))
+                                   else "DESeq2"), config=config)
 
     if np.isfinite(min_replicates_for_replace):
         sufficient = np.any(n_or_more_in_cell(dds.attrs["modelMatrix"],

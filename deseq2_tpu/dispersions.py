@@ -107,12 +107,22 @@ def n_or_more_in_cell(model_matrix, n):
 # gene-wise estimates
 # ---------------------------------------------------------------------------
 
-def estimate_dispersions_gene_est(dds, min_disp=1e-8, kappa_0=1.0,
-                                  disp_tol=1e-6, maxit=100, use_cr=True,
-                                  weight_threshold=1e-2, quiet=True,
-                                  model_matrix=None, niter=1, linear_mu=None,
-                                  min_mu=0.5, alpha_init=None):
+def estimate_dispersions_gene_est(dds, min_disp=None, kappa_0=None,
+                                  disp_tol=None, maxit=None, use_cr=None,
+                                  weight_threshold=None, quiet=True,
+                                  model_matrix=None, niter=None,
+                                  linear_mu=None, min_mu=None,
+                                  alpha_init=None, config=None):
     """Gene-wise dispersion MLE (reference R/core.R:657-860)."""
+    from .config import cfg
+    min_disp = cfg(min_disp, "min_disp", config)
+    kappa_0 = cfg(kappa_0, "kappa_0", config)
+    disp_tol = cfg(disp_tol, "disp_tol", config)
+    maxit = cfg(maxit, "maxit_disp", config)
+    use_cr = cfg(use_cr, "use_cr", config)
+    weight_threshold = cfg(weight_threshold, "weight_threshold", config)
+    niter = cfg(niter, "niter_disp", config)
+    min_mu = cfg(min_mu, "min_mu", config)
     dds = dds.copy()
     if "dispGeneEst" in dds.row_data:
         dds.remove_row_data(["dispGeneEst", "dispGeneIter"])
@@ -521,12 +531,21 @@ def _loess_quadratic(x, y, span=0.2):
     return out
 
 
-def estimate_dispersions_map(dds, outlier_sd=2.0, disp_prior_var=None,
-                             min_disp=1e-8, kappa_0=1.0, disp_tol=1e-6,
-                             maxit=100, use_cr=True, weight_threshold=1e-2,
-                             model_matrix=None, quiet=True, type="DESeq2"):
+def estimate_dispersions_map(dds, outlier_sd=None, disp_prior_var=None,
+                             min_disp=None, kappa_0=None, disp_tol=None,
+                             maxit=None, use_cr=None, weight_threshold=None,
+                             model_matrix=None, quiet=True, type="DESeq2",
+                             config=None):
     """MAP dispersion shrinkage toward the trend
     (reference estimateDispersionsMAP, R/core.R:943-1131)."""
+    from .config import cfg
+    outlier_sd = cfg(outlier_sd, "outlier_sd", config)
+    min_disp = cfg(min_disp, "min_disp", config)
+    kappa_0 = cfg(kappa_0, "kappa_0", config)
+    disp_tol = cfg(disp_tol, "disp_tol", config)
+    maxit = cfg(maxit, "maxit_disp", config)
+    use_cr = cfg(use_cr, "use_cr", config)
+    weight_threshold = cfg(weight_threshold, "weight_threshold", config)
     dds = dds.copy()
     if "allZero" not in dds.row_data:
         dds = get_base_means_and_variances(dds)
@@ -668,10 +687,14 @@ def estimate_dispersions_map(dds, outlier_sd=2.0, disp_prior_var=None,
     return dds
 
 
-def estimate_dispersions(dds, fit_type="parametric", min_disp=1e-8,
-                         quiet=True, model_matrix=None, min_mu=0.5, **kw):
+def estimate_dispersions(dds, fit_type="parametric", min_disp=None,
+                         quiet=True, model_matrix=None, min_mu=None,
+                         config=None, **kw):
     """Three-step estimateDispersions method
     (reference R/methods.R:500-568)."""
+    from .config import cfg
+    min_disp = cfg(min_disp, "min_disp", config)
+    min_mu = cfg(min_mu, "min_mu", config)
     if dds.size_factors is None and dds.normalization_factors is None:
         raise ValueError("first call estimate_size_factors")
     if "dispersion" in dds.row_data:
@@ -694,11 +717,12 @@ def estimate_dispersions(dds, fit_type="parametric", min_disp=1e-8,
                          "will not be able to perform differential analysis")
     dds = estimate_dispersions_gene_est(dds, min_disp=min_disp, quiet=quiet,
                                         model_matrix=model_matrix,
-                                        min_mu=min_mu, **kw)
+                                        min_mu=min_mu, config=config, **kw)
     dds = estimate_dispersions_fit(dds, fit_type=fit_type, min_disp=min_disp,
                                    quiet=quiet)
     dds = estimate_dispersions_map(dds, min_disp=min_disp, quiet=quiet,
                                    model_matrix=model_matrix,
                                    type=("glmGamPoi" if fit_type ==
-                                         "glmGamPoi" else "DESeq2"))
+                                         "glmGamPoi" else "DESeq2"),
+                                   config=config)
     return dds

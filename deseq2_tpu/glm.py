@@ -84,14 +84,20 @@ def get_and_check_weights(dds, model_matrix, weight_threshold=1e-2):
 
 def fit_nbinom_glms(dds, model_matrix=None, model_matrix_names=None,
                     model_formula=None, alpha_hat=None, lam=None,
-                    rename_cols=True, beta_tol=1e-8, maxit=100,
-                    use_optim=True, use_qr=True, force_optim=False,
-                    warn_nonpos_var=True, min_mu=0.5):
+                    rename_cols=True, beta_tol=None, maxit=None,
+                    use_optim=None, use_qr=None, force_optim=False,
+                    warn_nonpos_var=True, min_mu=None, config=None):
     """Batched fitNbinomGLMs (reference R/fitNbinomGLMs.R:29-236).
 
     Operates over the rows of `dds` as given (callers pass the non-zero
     subset).  Coefficients and SEs are returned on the log2 scale.
     """
+    from .config import cfg
+    beta_tol = cfg(beta_tol, "beta_tol", config)
+    maxit = cfg(maxit, "maxit_beta", config)
+    use_optim = cfg(use_optim, "use_optim", config)
+    use_qr = cfg(use_qr, "use_qr", config)
+    min_mu = cfg(min_mu, "min_mu", config)
     just_intercept = False
     if model_matrix is None:
         formula = dds.design if model_formula is None else parse_formula(model_formula)

@@ -25,12 +25,18 @@ def check_lrt(full, reduced):
             "formula: " + ", ".join(missing))
 
 
-def nbinom_lrt(dds, full=None, reduced=None, beta_tol=1e-8, maxit=100,
-               use_optim=True, quiet=True, use_qr=True, min_mu=0.5,
-               type="DESeq2"):
+def nbinom_lrt(dds, full=None, reduced=None, beta_tol=None, maxit=None,
+               use_optim=None, quiet=True, use_qr=None, min_mu=None,
+               type="DESeq2", config=None):
     """Full-vs-reduced likelihood ratio chi-squared test
     (reference nbinomLRT, R/core.R:1787-2012); type='glmGamPoi' runs the
     quasi-likelihood F-test instead (R/core.R:1898-1947)."""
+    from .config import cfg
+    beta_tol = cfg(beta_tol, "beta_tol", config)
+    maxit = cfg(maxit, "maxit_beta", config)
+    use_optim = cfg(use_optim, "use_optim", config)
+    use_qr = cfg(use_qr, "use_qr", config)
+    min_mu = cfg(min_mu, "min_mu", config)
     dds = dds.copy()
     if dds.dispersions is None:
         raise ValueError("testing requires dispersion estimates, first call "

@@ -23,10 +23,17 @@ from .quantiles import (match_upper_quantile_for_variance,
 
 def nbinom_wald_test(dds, beta_prior=False, beta_prior_var=None,
                      model_matrix=None, model_matrix_type=None,
-                     beta_tol=1e-8, maxit=100, use_optim=True, quiet=True,
-                     use_t=False, df=None, use_qr=True, min_mu=0.5):
+                     beta_tol=None, maxit=None, use_optim=None, quiet=True,
+                     use_t=False, df=None, use_qr=None, min_mu=None,
+                     config=None):
     """Wald test of GLM coefficients (reference nbinomWaldTest,
     R/core.R:1332-1565)."""
+    from .config import cfg
+    beta_tol = cfg(beta_tol, "beta_tol", config)
+    maxit = cfg(maxit, "maxit_beta", config)
+    use_optim = cfg(use_optim, "use_optim", config)
+    use_qr = cfg(use_qr, "use_qr", config)
+    min_mu = cfg(min_mu, "min_mu", config)
     dds = dds.copy()
     if dds.dispersions is None:
         raise ValueError("testing requires dispersion estimates, first call "
