@@ -166,12 +166,13 @@ def _bh_adjust(p, valid):
 
 @partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "mesh", "cells",
                                    "two_group", "min_replicates", "alpha",
-                                   "reduced_intercept", "linear_mu"))
+                                   "reduced_intercept", "linear_mu",
+                                   "beta_prior"))
 def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         min_disp_pow=-8, mesh=None, cells=None,
                         two_group=False, min_replicates=7, alpha=0.1,
                         x_reduced=None, reduced_intercept=False,
-                        linear_mu=True):
+                        linear_mu=True, beta_prior=False):
     """counts: (G,S) int; x: (S,p); size_factors: (S,); grid: (20,) log
     alpha grid.  Returns per-gene results dict (log2 scale LFC/SE/stat/p,
     plus dispersions and diagnostics).
@@ -235,6 +236,9 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     lrt = reduced_intercept or x_reduced is not None
     if x_reduced is not None:
         x_reduced = x_reduced.astype(dtype)
+    if beta_prior and (lrt or cells is None):
+        raise ValueError("fused beta_prior requires cells (a single-factor "
+                         "group design) and test='Wald'")
 
     from jax.scipy.special import gammaln
 
@@ -426,6 +430,56 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             out["deviance"] = -2.0 * ll_full
         return out
 
+    if beta_prior:
+        import numpy as _np
+        cells_arr = _np.asarray(cells)
+        n_lvls = int(cells_arr.max()) + 1
+        pe = n_lvls + 1
+        # expanded model matrix: intercept + one indicator per level
+        # (makeExpandedModelMatrix, R/expanded.R:1-18)
+        x_exp = jnp.asarray(_np.column_stack(
+            [_np.ones(S)] + [(cells_arr == l).astype(float)
+                             for l in range(n_lvls)]), dtype)
+        xx_exp = (x_exp[:, :, None] * x_exp[:, None, :]).reshape(S, pe * pe)
+        # default results contrast: last level vs first (R/results.R:389-398)
+        cvec = jnp.zeros(pe, dtype).at[1].set(-1.0).at[pe - 1].set(1.0)
+
+        def chain_prior(y_safe, norm_c, all_zero_l, disp_l, v_):
+            """Expanded-matrix ridge refit + default contrast
+            (fitGLMsWithPrior R/fitNbinomGLMs.R:292-332; contrast num/den
+            from the sandwich as getContrast's maxit=0 fitBeta re-entry,
+            R/results.R:760-827 / cpp:429-455)."""
+            lam_e = jnp.concatenate(
+                [jnp.asarray([1e-6], dtype),
+                 jnp.broadcast_to(1.0 / v_, (n_lvls,)).astype(dtype)]) \
+                / LN2 ** 2
+            # rank-deficient expanded design: intercept-only init
+            # (glm.py / fitNbinomGLMs beta-init rule)
+            b0c = jnp.where(all_zero_l, 0.0,
+                            jnp.log(jnp.maximum(norm_c.mean(axis=1),
+                                                1e-300)))
+            binit = jnp.concatenate(
+                [b0c[:, None],
+                 jnp.zeros((y_safe.shape[0], n_lvls), dtype)], axis=1)
+            if _use_pallas_irls(S, pe, dtype):
+                fit = fit_beta_pallas(y_safe, x_exp, sf, disp_l, binit,
+                                      lam_e, maxit=maxit, min_mu=min_mu)
+            else:
+                fit = _fit_beta_core(
+                    y_safe, x_exp,
+                    jnp.broadcast_to(sf[None, :], y_safe.shape), disp_l,
+                    binit, lam_e, maxit=maxit, min_mu=min_mu)
+            mu_cl = fit["mu"]           # clamped kernel mu (cpp post-fit)
+            w = mu_cl / (1.0 + disp_l[:, None] * mu_cl)
+            xtwx = (w @ xx_exp).reshape(-1, pe, pe)
+            A = xtwx + jnp.diag(lam_e)[None]
+            Ainv = jnp.linalg.inv(A)
+            sigma = Ainv @ xtwx @ Ainv
+            num = fit["beta"] @ cvec
+            den = jnp.sqrt(jnp.einsum("i,gij,j->g", cvec, sigma, cvec))
+            return dict(beta_e=fit["beta"], beta_var_e=fit["beta_var"],
+                        iter_e=fit["iter"], num=num, den=den)
+
     # ======== main path ========
 
     est = smap(chain_gene_est, (gP,))(y)
@@ -456,6 +510,26 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
     out = dict(trendCoefs=coefs, dispPriorVar=disp_prior_var,
                varLogDispEsts=var_log_disp)
+
+    # ======== beta prior variance + expanded refit ========
+    if beta_prior:
+        from .priordev import match_weighted_upper_quantile_var_dev
+        mle_log2 = LOG2E * beta_nat
+        # weights = 1/(1/baseMean + dispFit), nonzero genes only
+        # (R/core.R:1637-1646)
+        wq = jnp.where(all_zero, 0.0,
+                       1.0 / (1.0 / jnp.where(all_zero, 1.0, base_mean)
+                              + disp_fit))
+        qcols = [mle_log2[:, j] for j in range(1, p)]
+        for j in range(1, p):        # addAllContrasts (R/expanded.R:76-98)
+            for i in range(j + 1, p):
+                qcols.append(mle_log2[:, i] - mle_log2[:, j])
+        vs_ = [match_weighted_upper_quantile_var_dev(c_, wq)
+               for c_ in qcols]
+        prior_v = sum(vs_) / len(vs_)   # averagePriorsOverLevels mean
+        out["betaPriorVar"] = prior_v
+        pr = smap(chain_prior, (gP, gP, gP, gP, rP))(
+            est["y_safe"], est["norm_c"], all_zero, dispersion, prior_v)
 
     # ======== Cook's distances + outlier replacement/refit ========
     replace = jnp.zeros(G, bool)
@@ -504,7 +578,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
             # --- refit dispersions + GLM on replaced rows only, with the
             # frozen trend/prior (refitWithoutOutliers R/core.R:2497-2560)
-            def chain_refit(y_new_loc, need_loc, tmpl, c0, c1, pv, vld):
+            def chain_refit(y_new_loc, need_loc, tmpl, c0, c1, pv, vld,
+                            pv_beta):
                 g_local = y_new_loc.shape[0]
                 capg = straggler_capacity(g_local, frac=8, floor=2048)
 
@@ -530,6 +605,17 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                     if lrt:
                         d["ll_full"] = post2["ll_full"]
                         d["ll_reduced"] = post2["ll_reduced"]
+                    if beta_prior:
+                        # refit reuses the SAVED prior variance
+                        # (refitWithoutOutliers passes betaPriorVar,
+                        # R/core.R:2523-2531)
+                        pr2 = chain_prior(est2["y_safe"], est2["norm_c"],
+                                          est2["all_zero"],
+                                          post2["dispersion"], pv_beta)
+                        d.update(beta_e=pr2["beta_e"],
+                                 beta_var_e=pr2["beta_var_e"],
+                                 iter_e=pr2["iter_e"],
+                                 num=pr2["num"], den=pr2["den"])
                     return d
 
                 def splice(new, sel):
@@ -575,10 +661,15 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             if lrt:
                 tmpl["ll_full"] = post["ll_full"]
                 tmpl["ll_reduced"] = post["ll_reduced"]
+            if beta_prior:
+                tmpl.update(beta_e=pr["beta_e"], beta_var_e=pr["beta_var_e"],
+                            iter_e=pr["iter_e"], num=pr["num"],
+                            den=pr["den"])
             spl = smap(chain_refit,
-                       (gP, gP, {k: gP for k in tmpl}, rP, rP, rP, rP))(
+                       (gP, gP, {k: gP for k in tmpl}, rP, rP, rP, rP, rP))(
                 y_new, need, tmpl, coefs[0], coefs[1], disp_prior_var,
-                var_log_disp)
+                var_log_disp,
+                prior_v if beta_prior else jnp.asarray(0.0, dtype))
             disp_gene_est = spl["disp_gene_est"]
             disp_fit, disp_map = spl["disp_fit"], spl["disp_map"]
             disp_outlier, dispersion = (spl["disp_outlier"],
@@ -589,6 +680,11 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             if lrt:
                 post = dict(post, ll_full=spl["ll_full"],
                             ll_reduced=spl["ll_reduced"])
+            if beta_prior:
+                pr = dict(beta_e=spl["beta_e"],
+                          beta_var_e=spl["beta_var_e"],
+                          iter_e=spl["iter_e"], num=spl["num"],
+                          den=spl["den"])
 
             # maxCooks after refit (R/core.R:2540-2551), only when a
             # refit actually ran (some replaced row is not newly zero):
@@ -620,11 +716,37 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         p_last = jnp.where(all_zero, jnp.nan, lrt_p)
         out["LRTStatistic"] = stat_last
         out["LRTPvalue"] = p_last
+    elif beta_prior:
+        # default contrast (last level vs first) from the expanded MAP
+        # fit: stat = c'beta / sqrt(c' sigma c) (R/results.R:797-818)
+        lfc_last = jnp.where(all_zero, jnp.nan, LOG2E * pr["num"])
+        se_last = jnp.where(all_zero, jnp.nan, LOG2E * pr["den"])
+        stat_last = jnp.where(all_zero, jnp.nan, pr["num"] / pr["den"])
+        p_last = erfc(jnp.abs(stat_last) / jnp.sqrt(2.0).astype(dtype))
+        p_last = jnp.where(all_zero, jnp.nan, p_last)
+        # zero-zero contrast rule: both involved groups all zero ->
+        # LFC=0, stat=0, p=1 (R/results.R:956-959, 1237-1270)
+        import numpy as _np2
+        carr = _np2.asarray(cells)
+        first_cols = tuple(_np2.where(carr == 0)[0])
+        last_cols = tuple(_np2.where(carr == carr.max())[0])
+        zz = (jnp.sum(y[:, first_cols], axis=1) == 0) & \
+            (jnp.sum(y[:, last_cols], axis=1) == 0) & ~all_zero
+        lfc_last = jnp.where(zz, 0.0, lfc_last)
+        stat_last = jnp.where(zz, 0.0, stat_last)
+        p_last = jnp.where(zz, 1.0, p_last)
+        # expose the expanded MAP betas; overwrite the MLE matrices
+        beta_log2 = LOG2E * pr["beta_e"]
+        se_log2 = LOG2E * jnp.sqrt(jnp.maximum(pr["beta_var_e"], 0.0))
+        wald_stat = beta_log2 / se_log2
+        wald_p = erfc(jnp.abs(wald_stat) / jnp.sqrt(2.0).astype(dtype))
+        beta_iter = pr["iter_e"]
     else:
         p_last = jnp.where(all_zero, jnp.nan, wald_p[:, -1])
         stat_last = jnp.where(all_zero, jnp.nan, wald_stat[:, -1])
-    lfc_last = jnp.where(all_zero, jnp.nan, beta_log2[:, -1])
-    se_last = jnp.where(all_zero, jnp.nan, se_log2[:, -1])
+    if not beta_prior:
+        lfc_last = jnp.where(all_zero, jnp.nan, beta_log2[:, -1])
+        se_last = jnp.where(all_zero, jnp.nan, se_log2[:, -1])
 
     if max_cooks is not None:
         cooks_outlier = jnp.where(jnp.isnan(max_cooks), False,
@@ -704,7 +826,7 @@ def _reduced_args(reduced):
 
 def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                       min_disp=1e-8, cells=None, two_group=False,
-                      alpha=0.1, reduced=None):
+                      alpha=0.1, reduced=None, beta_prior=False):
     """Run the fused pipeline with the genes axis sharded over `mesh`."""
     import numpy as np
     from .sharding import pad_to_multiple, replicated, shard_genes
@@ -728,7 +850,7 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                               mesh=mesh if n_dev > 1 else None,
                               cells=cells, two_group=two_group, alpha=alpha,
                               x_reduced=x_red, reduced_intercept=red_int,
-                              linear_mu=lin_mu)
+                              linear_mu=lin_mu, beta_prior=beta_prior)
     return {k: np.asarray(v)[:G] if np.ndim(v) and np.shape(v)[0] ==
             counts_p.shape[0] else np.asarray(v) for k, v in out.items()}
 
@@ -736,7 +858,7 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
 def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                   alpha=0.1, independent_filtering=True, mesh=None,
                   two_group=False, min_replicates=7, devices=None,
-                  reduced=None):
+                  reduced=None, beta_prior=False):
     """Full default-contrast DESeq results via the fused pipeline.
 
     Equivalent of deseq() + results() for the default bulk configuration
@@ -756,7 +878,8 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
         out = run_fused_sharded(np.asarray(counts), x_np, size_factors,
                                 mesh, maxit=maxit, min_disp=min_disp,
                                 cells=cells, two_group=two_group,
-                                alpha=alpha, reduced=reduced)
+                                alpha=alpha, reduced=reduced,
+                                beta_prior=beta_prior)
     else:
         x_red, red_int = _reduced_args(reduced)
         lin_mu = len(set(cells)) == x_np.shape[1]
@@ -769,7 +892,7 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                                   x_reduced=None if x_red is None
                                   else jnp.asarray(x_red),
                                   reduced_intercept=red_int,
-                                  linear_mu=lin_mu)
+                                  linear_mu=lin_mu, beta_prior=beta_prior)
 
     # two host round-trips total: the 50-scalar filtering stats (to pick
     # the lowess cutoff), then one batched device_get of all columns —

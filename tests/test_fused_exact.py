@@ -127,3 +127,20 @@ def test_lrt_fused_multicolumn_reduced():
                          dds.size_factors, reduced=x_red)
     _cmp(res["stat"], fres["stat"], "LRT stat")
     _cmp(res["pvalue"], fres["pvalue"], "LRT pvalue")
+
+
+def test_beta_prior_fused_matches_host():
+    """Fused betaPrior (expanded matrix + weighted-quantile prior) ==
+    host deseq(beta_prior=True) + results() default contrast."""
+    dds = dt.make_example_dataset(n=300, m=12, beta_sd=1.0, seed=17)
+    dds = dt.deseq(dds, beta_prior=True)
+    res = dt.results(dds)
+    x_std, _ = dds.model_matrix()
+    fres = fused_results(np.asarray(dds.counts), x_std, dds.size_factors,
+                         two_group=True, beta_prior=True)
+    _cmp(res["baseMean"], fres["baseMean"], "baseMean")
+    _cmp(res["log2FoldChange"], fres["log2FoldChange"], "MAP LFC")
+    _cmp(res["lfcSE"], fres["lfcSE"], "MAP SE")
+    _cmp(res["stat"], fres["stat"], "stat")
+    _cmp(res["pvalue"], fres["pvalue"], "pvalue")
+    _cmp(res["padj"], fres["padj"], "padj")
