@@ -196,9 +196,14 @@ def integrate_with_single_cell(res, dds, csv_table=None):
     and interactively prompts the user; those packages don't exist
     outside Bioconductor, so this port resolves the organism the same
     way (tximeta metadata, else ENSG/ENSMUSG gene-id prefixes) and
-    returns the organism plus the filtered dataset table for the caller
-    to act on.  Pass `csv_table` as a list of dicts with keys
-    org/pkg/func/data/pub/nCells/desc to supply a dataset menu."""
+    returns the organism plus the organism-filtered dataset menu (the
+    vendored catalog from the reference's singleCellTab.csv — see
+    deseq2_tpu/singlecell_tab.py) for the caller to act on.  Pass
+    `csv_table` (list of dicts with keys org/pkg/func/data/pub/
+    n_cells/desc) to supply a custom menu."""
+    if csv_table is None:
+        from .singlecell_tab import SINGLE_CELL_TAB
+        csv_table = SINGLE_CELL_TAB
     org_meta = dds.metadata.get("txomeInfo", {}) if hasattr(
         dds, "metadata") and isinstance(getattr(dds, "metadata", None),
                                         dict) else {}

@@ -125,117 +125,185 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     # path — exact for the group design; R/core.R:754-764)
     q_mu = jnp.where(all_zero[:, None], 1.0, q)
 
-    def lp_dlp(la, use_prior, pm, pv):
-        """Streamed fused log-posterior + derivative at la (G,)."""
-        alpha = jnp.exp(la)
-        inv_a = 1.0 / alpha
+    def make_lp_dlp(ys_, q_):
+        """Streamed fused log-posterior + derivative for a gene block
+        (ys_: (n_chunks, g, chunk); q_: (g, C) clamped group means)."""
+        def lp_dlp(la, use_prior, pm, pv):
+            g = la.shape[0]
+            alpha = jnp.exp(la)
+            inv_a = 1.0 / alpha
 
-        def body(carry, xc):
-            ll, s1, b, db = carry
-            y_c, sf_c, cl_c, v_c, xx_c = xc
-            y_f = y_c.astype(dtype)
-            mu = jnp.maximum(q_mu[:, cl_c] * sf_c[None, :], min_mu)
-            mu = jnp.where(v_c[None, :] > 0, mu, 1.0)
-            mu_inv_a = mu + inv_a[:, None]
-            mua = mu * alpha[:, None]
-            l1p = jnp.log1p(mua)
-            ll += jnp.sum(v_c[None, :] * (
-                gammaln(y_f + inv_a[:, None]) - y_f * jnp.log(mu_inv_a)
-                - inv_a[:, None] * l1p), axis=1)
-            s1 += jnp.sum(v_c[None, :] * (
-                l1p - mua / (1.0 + mua) + y_f / mu_inv_a
-                - digamma(y_f + inv_a[:, None])), axis=1)
-            w = v_c[None, :] / (1.0 / mu + alpha[:, None])
-            b += jnp.dot(w, xx_c, preferred_element_type=dtype)
-            db += jnp.dot(-w * w, xx_c, preferred_element_type=dtype)
-            return (ll, s1, b, db), None
+            def body(carry, xc):
+                ll, s1, b, db = carry
+                y_c, sf_c, cl_c, v_c, xx_c = xc
+                y_f = y_c.astype(dtype)
+                mu = jnp.maximum(q_[:, cl_c] * sf_c[None, :], min_mu)
+                mu = jnp.where(v_c[None, :] > 0, mu, 1.0)
+                mu_inv_a = mu + inv_a[:, None]
+                mua = mu * alpha[:, None]
+                l1p = jnp.log1p(mua)
+                ll += jnp.sum(v_c[None, :] * (
+                    gammaln(y_f + inv_a[:, None]) - y_f * jnp.log(mu_inv_a)
+                    - inv_a[:, None] * l1p), axis=1)
+                s1 += jnp.sum(v_c[None, :] * (
+                    l1p - mua / (1.0 + mua) + y_f / mu_inv_a
+                    - digamma(y_f + inv_a[:, None])), axis=1)
+                w = v_c[None, :] / (1.0 / mu + alpha[:, None])
+                b += jnp.dot(w, xx_c, preferred_element_type=dtype)
+                db += jnp.dot(-w * w, xx_c, preferred_element_type=dtype)
+                return (ll, s1, b, db), None
 
-        z_pp = jnp.zeros((G, p * p), dtype)
-        (ll, s1, b, db), _ = jax.lax.scan(
-            body, (-n_valid * gammaln(inv_a), n_valid * digamma(inv_a),
-                   z_pp, z_pp), (ys, sfs, cls, vs, xxs))
-        bm = b.reshape(G, p, p)
-        _, logdet = jnp.linalg.slogdet(bm)
-        binv = jnp.linalg.inv(bm)
-        tr = jnp.einsum("gij,gji->g", binv, db.reshape(G, p, p))
-        lp = ll - 0.5 * logdet
-        dlp = (s1 / (alpha * alpha) - 0.5 * tr) * alpha
-        if use_prior:
-            lp = lp - 0.5 * (la - pm) ** 2 / pv
-            dlp = dlp - (la - pm) / pv
-        return lp, dlp
+            z_pp = jnp.zeros((g, p * p), dtype)
+            (ll, s1, b, db), _ = jax.lax.scan(
+                body, (-n_valid * gammaln(inv_a),
+                       n_valid * digamma(inv_a), z_pp, z_pp),
+                (ys_, sfs, cls, vs, xxs))
+            bm = b.reshape(g, p, p)
+            _, logdet = jnp.linalg.slogdet(bm)
+            binv = jnp.linalg.inv(bm)
+            tr = jnp.einsum("gij,gji->g", binv, db.reshape(g, p, p))
+            lp = ll - 0.5 * logdet
+            dlp = (s1 / (alpha * alpha) - 0.5 * tr) * alpha
+            if use_prior:
+                lp = lp - 0.5 * (la - pm) ** 2 / pv
+                dlp = dlp - (la - pm) / pv
+            return lp, dlp
+
+        return lp_dlp
 
     def line_search(la0, use_prior, pm, pv):
-        """Armijo backtracking ascent (cpp:163-277), streamed."""
+        """Armijo backtracking ascent (cpp:163-277), streamed, with
+        straggler compaction: once the live set fits G//8, gather those
+        genes' count rows and finish on the compacted block — tail
+        iterations then cost cap/G of a full HBM sweep."""
+        lp_dlp = make_lp_dlp(ys, q_mu)
         lp0, dlp0 = lp_dlp(la0, use_prior, pm, pv)
         eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
         tol = jnp.maximum(1e-6, jnp.abs(lp0) * 50.0 * eps)
         min_la = jnp.log(jnp.asarray(min_disp / 10.0, dtype))
         state = (jnp.asarray(0, jnp.int32), la0, jnp.ones_like(la0),
                  lp0, dlp0, jnp.zeros(G, jnp.int32),
-                 jnp.zeros(G, jnp.int32), jnp.zeros(G, dtype))
+                 jnp.zeros(G, jnp.int32), jnp.zeros(G, dtype),
+                 jnp.asarray(tol, dtype) * jnp.ones(G, dtype)
+                 if jnp.ndim(tol) == 0 else tol)
 
-        def cond(s):
-            return (s[0] < maxit) & (jnp.max(1.0 - s[7]) > 0.5)
+        def make_body(lp_dlp_, pm_, pv_):
+            def body(s):
+                t, a, kappa, lp, dlp, iters, iacc, donef, tol_ = s
+                done = donef > 0.5
+                live = ~done
+                iters = iters + live.astype(jnp.int32)
+                a_pr = a + kappa * dlp
+                kappa = jnp.where(a_pr < -30.0, (-30.0 - a) / dlp, kappa)
+                kappa = jnp.where(a_pr > 10.0, (10.0 - a) / dlp, kappa)
+                a_new = a + kappa * dlp
+                lp_new, dlp_next = lp_dlp_(a_new, use_prior, pm_, pv_)
+                accept = -lp_new <= -lp - kappa * 1e-4 * dlp * dlp
+                upd = live & accept
+                iacc = iacc + upd.astype(jnp.int32)
+                change = lp_new - lp
+                conv = change < tol_
+                under = a_new < min_la
+                a = jnp.where(upd, a_new, a)
+                lp = jnp.where(upd & (conv | ~under), lp_new, lp)
+                if jnp.finfo(dtype).eps > 1e-10:
+                    stalled = live & ~accept & (kappa * dlp * dlp < tol_)
+                else:
+                    stalled = jnp.zeros_like(live)
+                newly = (upd & (conv | under)) | stalled
+                cont = upd & ~conv & ~under
+                dlp = jnp.where(cont, dlp_next, dlp)
+                kap = jnp.minimum(kappa * 1.1, 1.0)
+                kap = jnp.where(iacc % 5 == 0, kap / 2.0, kap)
+                kappa = jnp.where(cont, kap,
+                                  jnp.where(live & ~accept, kappa / 2.0,
+                                            kappa))
+                donef = jnp.maximum(donef, newly.astype(dtype))
+                return (t + 1, a, kappa, lp, dlp, iters, iacc, donef,
+                        tol_)
 
-        def body(s):
-            t, a, kappa, lp, dlp, iters, iacc, donef = s
-            done = donef > 0.5
-            live = ~done
-            iters = iters + live.astype(jnp.int32)
-            a_pr = a + kappa * dlp
-            kappa = jnp.where(a_pr < -30.0, (-30.0 - a) / dlp, kappa)
-            kappa = jnp.where(a_pr > 10.0, (10.0 - a) / dlp, kappa)
-            a_new = a + kappa * dlp
-            lp_new, dlp_next = lp_dlp(a_new, use_prior, pm, pv)
-            accept = -lp_new <= -lp - kappa * 1e-4 * dlp * dlp
-            upd = live & accept
-            iacc = iacc + upd.astype(jnp.int32)
-            change = lp_new - lp
-            conv = change < tol
-            under = a_new < min_la
-            a = jnp.where(upd, a_new, a)
-            lp = jnp.where(upd & (conv | ~under), lp_new, lp)
-            if jnp.finfo(dtype).eps > 1e-10:
-                stalled = live & ~accept & (kappa * dlp * dlp < tol)
-            else:
-                stalled = jnp.zeros_like(live)
-            newly = (upd & (conv | under)) | stalled
-            cont = upd & ~conv & ~under
-            dlp = jnp.where(cont, dlp_next, dlp)
-            kap = jnp.minimum(kappa * 1.1, 1.0)
-            kap = jnp.where(iacc % 5 == 0, kap / 2.0, kap)
-            kappa = jnp.where(cont, kap,
-                              jnp.where(live & ~accept, kappa / 2.0,
-                                        kappa))
-            donef = jnp.maximum(donef, newly.astype(dtype))
-            return (t + 1, a, kappa, lp, dlp, iters, iacc, donef)
+            return body
 
-        s = jax.lax.while_loop(cond, body, state)
+        from ..ops.padding import compact_live_indices
+        cap = min(1 << (max(G // 8, 512) - 1).bit_length(), G)
+        body_full = make_body(lp_dlp, pm, pv)
+        if cap * 2 >= G:
+            s = jax.lax.while_loop(
+                lambda s: (s[0] < maxit) & (jnp.max(1.0 - s[7]) > 0.5),
+                body_full, state)
+        else:
+            s = jax.lax.while_loop(
+                lambda s: (s[0] < maxit) &
+                (jnp.sum(1.0 - s[7]) > cap), body_full, state)
+            live = s[7] < 0.5
+            idx = compact_live_indices(live, cap)
+            ys_c = jnp.take(ys, idx, axis=1)
+            q_c = q_mu[idx]
+            pm_c = pm[idx] if jnp.ndim(pm) else pm
+            sub = (s[0],) + tuple(v[idx] for v in s[1:])
+            body_sub = make_body(make_lp_dlp(ys_c, q_c), pm_c, pv)
+            sub = jax.lax.while_loop(
+                lambda s_: (s_[0] < maxit) &
+                (jnp.max(1.0 - s_[7]) > 0.5), body_sub, sub)
+            s = (sub[0],) + tuple(
+                full.at[idx].set(part)
+                for full, part in zip(s[1:], sub[1:]))
         return dict(log_alpha=s[1], last_lp=s[3], initial_lp=lp0,
                     iter=s[5])
 
-    def grid_search(pm, pv, use_prior):
-        """Two-stage grid search (cpp:468-513), streamed lp."""
+    def grid_search_subset(idx, pm, pv, use_prior):
+        """Two-stage grid search (cpp:468-513) on a compacted gene
+        subset (idx: (cap,) gene indices)."""
+        lp_dlp = make_lp_dlp(jnp.take(ys, idx, axis=1), q_mu[idx])
+        g = idx.shape[0]
+        pm_c = pm[idx] if jnp.ndim(pm) else pm
+
         def argmax_over(points):
             def body(carry, la_j):
                 best_lp, best_a = carry
-                lp, _ = lp_dlp(la_j, use_prior, pm, pv)
+                lp, _ = lp_dlp(la_j, use_prior, pm_c, pv)
                 better = lp > best_lp
                 return (jnp.where(better, lp, best_lp),
                         jnp.where(better, la_j, best_a)), None
 
-            init = (jnp.full(G, -jnp.inf, dtype), jnp.zeros(G, dtype))
+            init = (jnp.full(g, -jnp.inf, dtype), jnp.zeros(g, dtype))
             (_, best_a), _ = jax.lax.scan(body, init, points)
             return best_a
 
         gridv = grid.astype(dtype)
-        coarse = jnp.broadcast_to(gridv[:, None], (gridv.shape[0], G))
+        coarse = jnp.broadcast_to(gridv[:, None], (gridv.shape[0], g))
         a_hat = argmax_over(coarse)
         delta = gridv[1] - gridv[0]
         frac = jnp.linspace(0.0, 1.0, gridv.shape[0], dtype=dtype)
         fine = a_hat[None, :] - delta + 2.0 * delta * frac[:, None]
         return argmax_over(fine)
+
+    def grid_fallback(disp_cur, need, pm, pv, use_prior):
+        """Run the grid only on the `need` genes (compacted)."""
+        from ..ops.padding import compact_live_indices
+        cap = min(1 << (max(G // 16, 256) - 1).bit_length(), G)
+
+        def run(_):
+            idx = compact_live_indices(need, cap)
+            la = grid_search_subset(idx, pm, pv, use_prior)
+            new = jnp.where(need[idx], jnp.exp(la), disp_cur[idx])
+            return disp_cur.at[idx].set(new)
+
+        # over-capacity overflow: two passes cover 2*cap genes; beyond
+        # that (pathological) the remainder keeps the line-search value
+        def run2(_):
+            d1 = run(None)
+            still = need & (d1 == disp_cur)
+            idx = compact_live_indices(still, cap)
+            la = grid_search_subset(idx, pm, pv, use_prior)
+            new = jnp.where(still[idx], jnp.exp(la), d1[idx])
+            return d1.at[idx].set(new)
+
+        n = jnp.sum(need)
+        return jax.lax.cond(
+            n == 0, lambda _: disp_cur,
+            lambda _: jax.lax.cond(n > cap, run2, run, operand=None),
+            operand=None)
 
     # ---- gene-wise MLE (R/core.R:770-848) ----
     la0 = jnp.log(alpha_init)
@@ -246,11 +314,9 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     disp_gene_est = jnp.where(no_inc, alpha_init, alpha_mle)
     conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
     need_grid = ~conv & (disp_gene_est > min_disp * 10)
-    disp_gene_est = jnp.where(
-        need_grid,
-        jnp.exp(grid_search(jnp.zeros(G, dtype), jnp.asarray(1.0, dtype),
-                            False)),
-        disp_gene_est)
+    disp_gene_est = grid_fallback(disp_gene_est, need_grid,
+                                  jnp.zeros(G, dtype),
+                                  jnp.asarray(1.0, dtype), False)
     disp_gene_est = jnp.clip(disp_gene_est, min_disp, max_disp)
 
     # ---- trend + prior variance (cross-gene; R/core.R:864-939) ----
@@ -271,9 +337,7 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     map_res = line_search(jnp.log(disp_init), True, pm, disp_prior_var)
     disp_map = jnp.exp(map_res["log_alpha"])
     need_map = map_res["iter"] >= maxit
-    disp_map = jnp.where(need_map,
-                         jnp.exp(grid_search(pm, disp_prior_var, True)),
-                         disp_map)
+    disp_map = grid_fallback(disp_map, need_map, pm, disp_prior_var, True)
     disp_map = jnp.clip(disp_map, min_disp, max_disp)
     disp_outlier = jnp.log(disp_gene_est) > pm + \
         2.0 * jnp.sqrt(var_log_disp)
