@@ -17,11 +17,24 @@ import copy as _copy
 
 import numpy as np
 
+import warnings
+
 from .config import DESeqConfig, DEFAULT
 from .formula import (Factor, Formula, build_model_matrix, make_names,
                       parse_formula, rename_model_matrix_columns)
 
-__all__ = ["DESeqDataSet", "dataset_from_matrix", "dataset_from_htseq_count"]
+__all__ = ["DESeqDataSet", "DESeqMessage", "dataset_from_matrix",
+           "dataset_from_htseq_count"]
+
+
+class DESeqMessage(UserWarning):
+    """Constructor diagnostics the reference emits via message()
+    (R/AllClasses.R:163-285).  Raised as warnings so callers/tests can
+    capture them; they never interrupt construction."""
+
+
+def _message(text):
+    warnings.warn(text, DESeqMessage, stacklevel=3)
 
 
 class DispersionFunction:
@@ -56,35 +69,71 @@ class DESeqDataSet:
                 raise ValueError("counts must be a 2-D matrix (genes x samples)")
             if np.any(np.isnan(counts.astype(np.float64))):
                 raise ValueError("NA values are not allowed in the count matrix")
+            if counts.dtype.kind not in "iuf":
+                raise ValueError("counts matrix should be numeric, currently "
+                                 f"it has dtype: {counts.dtype}")
             if counts.dtype.kind == "f":
                 if not np.allclose(counts, np.round(counts)):
                     raise ValueError("some values in assay are not integers")
                 counts = np.round(counts)
+                _message("converting counts to integer mode")
             if np.any(counts < 0):
                 raise ValueError("some values in assay are negative")
+            if counts.size and np.all(counts == 0):
+                raise ValueError("all samples have 0 counts for all genes. "
+                                 "check the counting script.")
+            if counts.size and bool(
+                    np.all(counts == counts[:, :1])):
+                warnings.warn("all genes have equal values for all samples. "
+                              "will not be able to perform differential "
+                              "analysis")
         self.counts = counts.astype(np.int64)
         n_genes, n_samples = self.counts.shape
 
-        # column data: coerce object/str arrays to Factors (with R's message
-        # semantics dropped; reference AllClasses.R:205-214)
+        # column data: coerce object/str arrays to Factors (reference
+        # AllClasses.R:205-214 warns only for *design* characters; the
+        # warning is issued below once design vars are known)
         self.col_data = {}
+        coerced_from_char = set()
+        self._cols_with_na = set()
         for k, v in dict(col_data).items():
             if isinstance(v, Factor):
                 self.col_data[k] = v
             else:
                 arr = np.asarray(v)
                 if arr.dtype.kind in "OUS" or arr.dtype == bool:
+                    if arr.dtype.kind == "O" and any(
+                            e is None or (isinstance(e, float) and np.isnan(e))
+                            for e in arr.tolist()):
+                        self._cols_with_na.add(k)
                     self.col_data[k] = Factor(arr.astype(str))
+                    if arr.dtype.kind in "OUS":
+                        coerced_from_char.add(k)
                 else:
                     self.col_data[k] = arr
             if len(self.col_data[k]) != n_samples:
                 raise ValueError(f"colData column '{k}' length != number of samples")
 
         self.design = design if isinstance(design, np.ndarray) else parse_formula(design)
+        self._design_diagnostics(coerced_from_char)
         self._validate_design()
 
         self.row_names = list(row_names) if row_names is not None else \
             [f"gene{i+1}" for i in range(n_genes)]
+        # duplicate rownames renamed by suffixing .1, .2, ...
+        # (reference AllClasses.R:182-191)
+        seen = {}
+        n_dups = 0
+        for i, rn in enumerate(self.row_names):
+            if rn in seen:
+                seen[rn] += 1
+                self.row_names[i] = f"{rn}.{seen[rn]}"
+                n_dups += 1
+            else:
+                seen[rn] = 0
+        if n_dups:
+            warnings.warn(f"{n_dups} duplicate rownames were renamed by "
+                          "adding numbers")
         self.col_names = list(col_names) if col_names is not None else \
             [f"sample{i+1}" for i in range(n_samples)]
 
@@ -95,6 +144,104 @@ class DESeqDataSet:
         self.metadata = {}
         self.dispersion_function = None
         self.config = config
+
+    # -- construction-time design diagnostics ------------------------------
+    def _design_diagnostics(self, coerced_from_char):
+        """Reference constructor hygiene (R/AllClasses.R:192-285): NA
+        checks, character->factor warnings, numeric-variable hints,
+        ordered-factor rejection, empty-level dropping, and the
+        'control' reference-level hint."""
+        if isinstance(self.design, np.ndarray):
+            return
+        dvars = list(self.design.variables)
+        for v in dvars:
+            if v not in self.col_data:
+                raise ValueError(
+                    "all variables in design formula must be columns in "
+                    f"colData: missing '{v}'")
+            val = self.col_data[v]
+            if v in getattr(self, "_cols_with_na", ()) or (
+                    not isinstance(val, Factor) and np.any(
+                        np.isnan(np.asarray(val, dtype=np.float64)))):
+                raise ValueError(
+                    f"variables in design formula cannot contain NA: {v}")
+        chars = [v for v in dvars if v in coerced_from_char]
+        if chars:
+            warnings.warn("some variables in design formula are characters, "
+                          "converting to factors")
+        if len(dvars) == 1:
+            val = self.col_data[dvars[0]]
+            same = (np.all(val.codes == val.codes[0]) if isinstance(val, Factor)
+                    else np.all(np.asarray(val) == np.asarray(val)[0]))
+            if len(val) and same:
+                raise ValueError(
+                    "design has a single variable, with all samples having "
+                    "the same value. use instead a design of '~ 1'. "
+                    "estimateSizeFactors, rlog and the VST can then be used")
+        numeric = [v for v in dvars
+                   if not isinstance(self.col_data[v], Factor)]
+        if numeric:
+            msg_int = any(np.all(self.col_data[v] == np.round(
+                np.asarray(self.col_data[v], dtype=np.float64)))
+                for v in numeric)
+            msg_cs = any(np.mean(self.col_data[v]) > 5
+                         or np.std(self.col_data[v], ddof=1) > 5
+                         for v in numeric)
+            if msg_int:
+                _message(
+                    "the design formula contains one or more numeric "
+                    "variables with integer values, specifying a model with "
+                    "increasing fold change for higher values. did you mean "
+                    "for this to be a factor? if so, first convert this "
+                    "variable to a factor")
+            if msg_cs:
+                _message(
+                    "the design formula contains one or more numeric "
+                    "variables that have mean or standard deviation larger "
+                    "than 5. Including numeric variables with large mean can "
+                    "induce collinearity with the intercept. Users should "
+                    "center and scale numeric variables in the design to "
+                    "improve GLM convergence.")
+        factors = [v for v in dvars if isinstance(self.col_data[v], Factor)]
+        import re as _re
+        if any(not _re.match(r"^[A-Za-z0-9_.]*$", lv) for v in factors
+               for lv in self.col_data[v].levels):
+            _message(
+                "characters other than letters, numbers, '.' and '_' are "
+                "present in the levels of factors in the design formula; "
+                "they will be converted to valid names when building "
+                "results columns")
+        if any(self.col_data[v].ordered for v in factors):
+            raise ValueError(
+                "the design formula contains an ordered factor. The internal "
+                "steps do not work on ordered factors as a formula. Instead "
+                "you should provide a matrix to the 'design' slot, "
+                "constructed using model.matrix.")
+        dropped = False
+        for v in factors:
+            f = self.col_data[v]
+            if any(c == 0 for c in f.table().values()):
+                self.col_data[v] = f.droplevels()
+                dropped = True
+        if dropped:
+            _message("factor levels were dropped which had no samples")
+        for v in factors:
+            f = self.col_data[v]
+            if len(f) and np.all(f.codes == f.codes[0]):
+                raise ValueError(
+                    "design contains one or more variables with all samples "
+                    "having the same value, remove these variables from the "
+                    "design")
+        if factors and dvars and isinstance(self.col_data[dvars[-1]], Factor):
+            lvls = self.col_data[dvars[-1]].levels
+            for syn in ("control", "Control", "CONTROL"):
+                if syn in lvls and syn != lvls[0]:
+                    _message(
+                        f"it appears that the last variable in the design "
+                        f"formula, '{dvars[-1]}', has a factor level, "
+                        f"'{syn}', which is not the reference level. we "
+                        "recommend to use relevel() to set this as the "
+                        "reference level before proceeding.")
 
     # -- validity ----------------------------------------------------------
     def _validate_design(self):
@@ -289,8 +436,21 @@ def check_full_rank(model_matrix):
 
 
 def dataset_from_matrix(count_data, col_data, design, row_names=None,
-                        col_names=None, **kw):
-    """Constructor mirroring DESeqDataSetFromMatrix (R/AllClasses.R:334-382)."""
+                        col_names=None, tidy=False, **kw):
+    """Constructor mirroring DESeqDataSetFromMatrix (R/AllClasses.R:334-382).
+
+    With ``tidy=True`` (reference AllClasses.R:337-342) the first column
+    of ``count_data`` holds the gene identifiers (data.frame-style): pass
+    a 2-D object/str array or list of rows whose first element is the
+    name; the remaining columns must be numeric counts.
+    """
+    if tidy:
+        arr = np.asarray(count_data, dtype=object)
+        if arr.ndim != 2 or arr.shape[1] < 2:
+            raise ValueError("tidy=True requires a 2-D table whose first "
+                             "column holds the gene identifiers")
+        row_names = [str(v) for v in arr[:, 0].tolist()]
+        count_data = arr[:, 1:].astype(np.float64)
     return DESeqDataSet(count_data, col_data, design,
                         row_names=row_names, col_names=col_names, **kw)
 

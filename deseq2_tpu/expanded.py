@@ -39,12 +39,14 @@ def make_expanded_model_matrix(dds):
             nf = Factor.__new__(Factor)
             nf.codes = codes
             nf.levels = new_levels
+            nf.ordered = False
             col_data[k] = nf
         elif isinstance(v, Factor):
             codes = np.concatenate([v.codes, [v.codes[-1]]])
             nf = Factor.__new__(Factor)
             nf.codes = codes
             nf.levels = list(v.levels)
+            nf.ordered = v.ordered
             col_data[k] = nf
         else:
             col_data[k] = np.concatenate([v, [v[-1]]])

@@ -48,12 +48,15 @@ class Factor:
     R/AllClasses.R:256-262).
     """
 
-    __slots__ = ("codes", "levels")
+    __slots__ = ("codes", "levels", "ordered")
 
-    def __init__(self, values, levels=None):
+    def __init__(self, values, levels=None, ordered=False):
+        self.ordered = bool(ordered)
         if isinstance(values, Factor):
             self.codes = values.codes.copy()
             self.levels = list(values.levels)
+            if not ordered:
+                self.ordered = values.ordered
             if levels is not None:
                 self._set_levels(levels)
             return
@@ -88,6 +91,7 @@ class Factor:
         out = Factor.__new__(Factor)
         out.codes = np.atleast_1d(self.codes[idx])
         out.levels = list(self.levels)
+        out.ordered = self.ordered
         return out
 
     @property
@@ -103,6 +107,7 @@ class Factor:
         out = Factor.__new__(Factor)
         out.codes = self.codes.copy()
         out.levels = list(self.levels)
+        out.ordered = self.ordered
         out._set_levels(new_levels)
         return out
 
@@ -111,6 +116,7 @@ class Factor:
         new_levels = [self.levels[i] for i in used]
         out = Factor.__new__(Factor)
         out.levels = new_levels
+        out.ordered = self.ordered
         remap = {old: new for new, old in enumerate(used)}
         out.codes = np.array([remap[c] for c in self.codes.tolist()], dtype=np.int64)
         return out

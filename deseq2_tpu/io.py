@@ -179,6 +179,7 @@ def load_dataset(path) -> DESeqDataSet:
         f = Factor.__new__(Factor)
         f.codes = codes
         f.levels = list(levels)
+        f.ordered = False
         col_data[k] = f
     for k in meta["col_numeric"]:
         col_data[k] = arrays.pop(f"coln:{k}")
