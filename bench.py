@@ -32,7 +32,21 @@ import numpy as np  # noqa: E402
 
 G = int(os.environ.get("BENCH_GENES", 60000))
 S = int(os.environ.get("BENCH_SAMPLES", 128))
-BASELINE_GENES_PER_SEC = 2000.0  # reference claim, see module docstring
+
+
+def baseline_genes_per_sec(n_samples):
+    """Single-core reference genes/s at the benched sample count.
+
+    The 2,000 genes/s number (60k genes / 30 s, vignette claim) covers
+    bulk datasets up to ~dozens of samples; we charge it unchanged up to
+    S=128 (conservative: generous to the reference).  Beyond that the
+    reference's own cost model is linear in the sample count
+    (NEWS:179-187, the v1.26 linear-in-n rewrite), so its single-core
+    throughput at S>128 scales as 128/S.  R is not in this image, so
+    the 60k x 1k single-core number BASELINE.md calls for cannot be
+    measured directly; this is the documented extrapolation.
+    """
+    return 2000.0 * min(1.0, 128.0 / float(n_samples))
 
 
 def make_inputs(G, S, seed=0):
@@ -86,7 +100,7 @@ def main_sc():
     print(json.dumps({
         "metric": f"deseq_sc_genes_per_sec_{Gs}x{Ss}",
         "value": round(Gs / dt, 1), "unit": "genes/s/chip",
-        "vs_baseline": round(Gs / dt / BASELINE_GENES_PER_SEC, 2),
+        "vs_baseline": round(Gs / dt / baseline_genes_per_sec(Ss), 2),
     }))
 
 
@@ -122,7 +136,7 @@ def main():
         "metric": f"deseq_wald_genes_per_sec_{G}x{S}",
         "value": round(genes_per_sec, 1),
         "unit": "genes/s/chip",
-        "vs_baseline": round(genes_per_sec / BASELINE_GENES_PER_SEC, 2),
+        "vs_baseline": round(genes_per_sec / baseline_genes_per_sec(S), 2),
     }))
 
 

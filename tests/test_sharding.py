@@ -89,3 +89,25 @@ def test_graft_entry_compiles():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_bench_shape_full_tail():
+    """Bench-like shape (VERDICT weak #10): a few thousand genes with
+    heterogeneous dispersions so shards converge unevenly and the
+    straggler compaction actually engages, the full results tail
+    (Cook's, outlier refit, filtered BH) on, genes not divisible by the
+    mesh.  Sharded must equal single-device column for column."""
+    counts, x, sf = _sim(3001, 48, seed=29)
+    cells = tuple(int(v) for v in x[:, 1])
+    grid = np.linspace(np.log(1e-8), np.log(48.0), 20)
+    ref = fused_wald_pipeline(jnp.asarray(counts), jnp.asarray(x),
+                              jnp.asarray(sf), jnp.asarray(grid),
+                              cells=cells, two_group=True)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+    mesh = gene_mesh(8)
+    out = run_fused_sharded(counts, x, sf, mesh, cells=cells,
+                            two_group=True)
+    for key in ("dispersion", "beta", "stat", "maxCooks", "padjLast"):
+        assert out[key].shape[0] == 3001
+        np.testing.assert_allclose(out[key], ref[key], rtol=1e-6,
+                                   atol=1e-9, equal_nan=True, err_msg=key)
