@@ -19,13 +19,29 @@ from . import profiling
 def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
           beta_prior=False, full=None, reduced=None, quiet=True,
           min_replicates_for_replace=None, model_matrix_type=None,
-          use_t=False, minmu=None, config=None):
+          use_t=False, minmu=None, config=None, mesh=None):
     """size factors -> dispersions -> Wald or LRT -> outlier refit.
 
     Mirrors the reference's argument checking and stage sequencing
     (R/core.R:288-432).  `config` (a DESeqConfig) supplies any tunables
     not given explicitly and is threaded through every stage.
+
+    `mesh` (a 1-D gene mesh from parallel.sharding.gene_mesh) is the
+    reference's `parallel=TRUE, BPPARAM=` equivalent (R/core.R:407-416):
+    every batched kernel call in every stage — weighted fits, beta-prior
+    refits, LRT, outlier refits — runs gene-sharded across the mesh
+    devices, with results identical to the single-device run (the
+    cross-gene reductions stay host-side either way).
     """
+    if mesh is not None:
+        from .ops.placement import use_gene_mesh
+        with use_gene_mesh(mesh):
+            return deseq(dds, test=test, fit_type=fit_type, sf_type=sf_type,
+                         beta_prior=beta_prior, full=full, reduced=reduced,
+                         quiet=quiet,
+                         min_replicates_for_replace=min_replicates_for_replace,
+                         model_matrix_type=model_matrix_type, use_t=use_t,
+                         minmu=minmu, config=config, mesh=None)
     from .config import cfg
     min_replicates_for_replace = cfg(min_replicates_for_replace,
                                      "min_replicates_for_replace", config)

@@ -183,10 +183,19 @@ def fit_disp_line_search(y, x, mu, log_alpha_init, prior_mean, prior_var,
                          min_log_alpha, kappa_0=1.0, tol=1e-6, maxit=100,
                          use_prior=False, weights=None, use_weights=False,
                          weight_threshold=1e-2, use_cr=True):
-    """Batched fitDisp with genes-axis bucketing (see ops/padding.py)."""
+    """Batched fitDisp with genes-axis bucketing (see ops/padding.py).
+
+    Under an active `use_gene_mesh` (ops/placement.py) the gene-axis
+    inputs upload sharded so the solve runs data-parallel (the exact
+    path's DESeqParallel equivalent, incl. weighted fits)."""
     import numpy as np
+    from .placement import (active_gene_mesh, place_gene_axis,
+                            round_up_to_multiple)
     G = np.asarray(y).shape[0]
     gp = bucket_size(G)
+    mesh = active_gene_mesh()
+    if mesh is not None:
+        gp = round_up_to_multiple(gp, mesh.devices.size)
     if gp != G:
         y = pad_rows(np.asarray(y), gp, 1.0)
         mu = pad_rows(np.asarray(mu), gp, 1.0)
@@ -194,12 +203,16 @@ def fit_disp_line_search(y, x, mu, log_alpha_init, prior_mean, prior_var,
         prior_mean = pad_rows(np.asarray(prior_mean), gp, 0.0)
         if weights is not None:
             weights = pad_rows(np.asarray(weights), gp, 1.0)
+    y, mu, log_alpha_init, prior_mean, weights = place_gene_axis(
+        jnp.asarray(y), jnp.asarray(mu), jnp.asarray(log_alpha_init),
+        jnp.asarray(prior_mean),
+        None if weights is None else jnp.asarray(weights))
     out = _fit_disp_line_search_core(
-        jnp.asarray(y), jnp.asarray(x), jnp.asarray(mu),
-        jnp.asarray(log_alpha_init), jnp.asarray(prior_mean), prior_var,
+        y, jnp.asarray(x), mu,
+        log_alpha_init, prior_mean, prior_var,
         min_log_alpha, kappa_0=kappa_0, tol=tol, maxit=maxit,
         use_prior=use_prior,
-        weights=None if weights is None else jnp.asarray(weights),
+        weights=weights,
         use_weights=use_weights, weight_threshold=weight_threshold,
         use_cr=use_cr)
     if gp != G:
@@ -342,21 +355,31 @@ def _fit_disp_line_search_core(y, x, mu, log_alpha_init, prior_mean, prior_var,
 def fit_disp_grid(y, x, mu, disp_grid, prior_mean, prior_var,
                   use_prior=False, weights=None, use_weights=False,
                   weight_threshold=1e-2, use_cr=True, grid_n=20):
-    """Batched fitDispGrid with genes-axis bucketing (see ops/padding.py)."""
+    """Batched fitDispGrid with genes-axis bucketing (see ops/padding.py).
+
+    Shards over an active `use_gene_mesh` like fit_disp_line_search."""
     import numpy as np
+    from .placement import (active_gene_mesh, place_gene_axis,
+                            round_up_to_multiple)
     G = np.asarray(y).shape[0]
     gp = bucket_size(G)
+    mesh = active_gene_mesh()
+    if mesh is not None:
+        gp = round_up_to_multiple(gp, mesh.devices.size)
     if gp != G:
         y = pad_rows(np.asarray(y), gp, 1.0)
         mu = pad_rows(np.asarray(mu), gp, 1.0)
         prior_mean = pad_rows(np.asarray(prior_mean), gp, 0.0)
         if weights is not None:
             weights = pad_rows(np.asarray(weights), gp, 1.0)
+    y, mu, prior_mean, weights = place_gene_axis(
+        jnp.asarray(y), jnp.asarray(mu), jnp.asarray(prior_mean),
+        None if weights is None else jnp.asarray(weights))
     out = _fit_disp_grid_core(
-        jnp.asarray(y), jnp.asarray(x), jnp.asarray(mu),
-        jnp.asarray(disp_grid), jnp.asarray(prior_mean), prior_var,
+        y, jnp.asarray(x), mu,
+        jnp.asarray(disp_grid), prior_mean, prior_var,
         use_prior=use_prior,
-        weights=None if weights is None else jnp.asarray(weights),
+        weights=weights,
         use_weights=use_weights, weight_threshold=weight_threshold,
         use_cr=use_cr, grid_n=grid_n)
     if gp != G:

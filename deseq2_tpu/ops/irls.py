@@ -47,10 +47,22 @@ def _xtwx(x, w):
 
 def fit_beta(y, x, nf, alpha, beta_init, ridge, weights=None, contrast=None,
              tol=1e-8, maxit=100, min_mu=0.5, use_weights=False):
-    """Batched fitBeta with genes-axis bucketing (see ops/padding.py)."""
+    """Batched fitBeta with genes-axis bucketing (see ops/padding.py).
+
+    Under an active `use_gene_mesh` context (ops/placement.py) the
+    gene-axis inputs are uploaded sharded over the mesh, so the jitted
+    solve runs data-parallel across devices — the exact-path equivalent
+    of DESeqParallel's row sharding (R/parallel.R:6-74) for every
+    configuration including weighted fits.
+    """
     import numpy as np
+    from .placement import (active_gene_mesh, place_gene_axis,
+                            round_up_to_multiple)
     G = np.asarray(y).shape[0]
     gp = bucket_size(G)
+    mesh = active_gene_mesh()
+    if mesh is not None:
+        gp = round_up_to_multiple(gp, mesh.devices.size)
     if gp != G:
         y = pad_rows(np.asarray(y), gp, 1)
         nf = pad_rows(np.asarray(nf), gp, 1.0)
@@ -58,10 +70,14 @@ def fit_beta(y, x, nf, alpha, beta_init, ridge, weights=None, contrast=None,
         beta_init = pad_rows(np.asarray(beta_init), gp, 0.0)
         if weights is not None:
             weights = pad_rows(np.asarray(weights), gp, 1.0)
-    out = _fit_beta_core(jnp.asarray(y), jnp.asarray(x), jnp.asarray(nf),
-                         jnp.asarray(alpha), jnp.asarray(beta_init),
+    y, nf, alpha, beta_init, weights = place_gene_axis(
+        jnp.asarray(y), jnp.asarray(nf), jnp.asarray(alpha),
+        jnp.asarray(beta_init),
+        None if weights is None else jnp.asarray(weights))
+    out = _fit_beta_core(y, jnp.asarray(x), nf,
+                         alpha, beta_init,
                          jnp.asarray(ridge),
-                         weights=None if weights is None else jnp.asarray(weights),
+                         weights=weights,
                          contrast=None if contrast is None else jnp.asarray(contrast),
                          tol=tol, maxit=maxit, min_mu=min_mu,
                          use_weights=use_weights)

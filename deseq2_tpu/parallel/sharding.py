@@ -38,3 +38,8 @@ def pad_to_multiple(arr, multiple, fill):
         return arr, g
     pad = np.full((g_pad - g,) + arr.shape[1:], fill, dtype=arr.dtype)
     return np.concatenate([arr, pad], axis=0), g
+
+
+# exact-path placement context: kernels upload gene-sharded under this
+# (see ops/placement.py)
+from ..ops.placement import active_gene_mesh, use_gene_mesh  # noqa: E402,F401

@@ -111,3 +111,36 @@ def test_sharded_bench_shape_full_tail():
         assert out[key].shape[0] == 3001
         np.testing.assert_allclose(out[key], ref[key], rtol=1e-6,
                                    atol=1e-9, equal_nan=True, err_msg=key)
+
+
+def test_exact_path_sharded_weights_lrt():
+    """The exact host-orchestrated pipeline shards every config via the
+    use_gene_mesh placement context (DESeqParallel equivalent,
+    R/parallel.R:6-74): weighted Wald fits and LRT must match the
+    single-device run column for column."""
+    import deseq2_tpu as dt
+    from deseq2_tpu.parallel.sharding import use_gene_mesh
+
+    rng = np.random.default_rng(5)
+    dds0 = dt.make_example_dataset(n=120, m=10, seed=5)
+    w = np.clip(rng.uniform(0.3, 1.0, (120, 10)), 0, 1)
+    dds0.assays["weights"] = w
+
+    ref = dt.deseq(dds0.copy())
+    with use_gene_mesh(gene_mesh(8)):
+        out = dt.deseq(dds0.copy())
+    for col in ("dispGeneEst", "dispersion", "WaldStatistic_condition_B_vs_A",
+                "WaldPvalue_condition_B_vs_A", "betaConv", "maxCooks"):
+        np.testing.assert_allclose(
+            np.asarray(ref.row_data[col], float),
+            np.asarray(out.row_data[col], float),
+            rtol=1e-10, atol=1e-12, equal_nan=True, err_msg=col)
+
+    dds1 = dt.make_example_dataset(n=100, m=8, seed=11)
+    ref1 = dt.deseq(dds1.copy(), test="LRT", reduced="~ 1")
+    with use_gene_mesh(gene_mesh(8)):
+        out1 = dt.deseq(dds1.copy(), test="LRT", reduced="~ 1")
+    np.testing.assert_allclose(
+        np.asarray(ref1.row_data["LRTStatistic"], float),
+        np.asarray(out1.row_data["LRTStatistic"], float),
+        rtol=1e-10, atol=1e-12, equal_nan=True)
