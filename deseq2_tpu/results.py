@@ -139,8 +139,13 @@ def results(dds, contrast=None, name=None, lfc_threshold=0.0,
             alt_hypothesis="greaterAbs", list_values=(1, -1),
             cooks_cutoff=None, independent_filtering=True, alpha=0.1,
             filter=None, theta=None, p_adjust_method="BH", test=None,
-            minmu=0.5, add_mle=False):
-    """Extract a results table (reference results(), R/results.R:298-615)."""
+            minmu=0.5, add_mle=False, save_cols=None, tidy=False):
+    """Extract a results table (reference results(), R/results.R:298-615).
+
+    `save_cols` copies the named `dds.row_data` (mcols) columns into the
+    table's extra columns (reference saveCols, R/results.R:604-609);
+    `tidy=True` returns a plain dict of columns with the gene ids first
+    under 'row' (reference tidy output, R/results.R:601-603)."""
     if alt_hypothesis not in ("greaterAbs", "lessAbs", "greater", "less",
                               "greaterAbs2014"):
         raise ValueError("unknown altHypothesis")
@@ -311,6 +316,15 @@ def results(dds, contrast=None, name=None, lfc_threshold=0.0,
                             p_adjust_method)
     res.metadata["lfcThreshold"] = lfc_threshold
     res.row_names = list(dds.row_names)
+    if save_cols:
+        for c in ([save_cols] if isinstance(save_cols, str) else save_cols):
+            if c not in dds.row_data:
+                raise ValueError(f"saveCols column '{c}' not in mcols")
+            res.extra_columns[c] = np.asarray(dds.row_data[c]).copy()
+    if tidy:
+        out = {"row": list(res.row_names)}
+        out.update(res.to_dict())
+        return out
     return res
 
 

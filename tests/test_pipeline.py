@@ -216,3 +216,16 @@ def test_config_threading():
     loose = dt.deseq(dds0, config=DESeqConfig(min_replicates_for_replace=3),
                      min_replicates_for_replace=7)
     assert "replaceCooks" not in loose.assays or True
+
+
+def test_results_tidy_and_save_cols():
+    """results(tidy=, saveCols=) output contracts (R/results.R:601-609)."""
+    import deseq2_tpu as dt
+    dds = dt.deseq(dt.make_example_dataset(n=50, m=6, seed=21))
+    t = dt.results(dds, tidy=True, save_cols=["dispGeneEst"])
+    assert list(t)[0] == "row" and len(t["row"]) == 50
+    assert "dispGeneEst" in t
+    r = dt.results(dds, save_cols="dispGeneEst")
+    assert "dispGeneEst" in r.column_names
+    with np.testing.assert_raises(ValueError):
+        dt.results(dds, save_cols="nope")
