@@ -56,7 +56,7 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
 
     n_chunks = -(-S // chunk)
     pad = n_chunks * chunk - S
-    counts_p = jnp.pad(counts, ((0, 0), (0, pad)))
+    counts_p = jnp.pad(counts, ((0, 0), (0, pad))) if pad else counts
     sf_p = jnp.pad(sf, (0, pad), constant_values=1.0)
     cells_p = jnp.pad(cells, (0, pad))
     valid_p = jnp.pad(jnp.ones(S, dtype), (0, pad))
@@ -66,8 +66,19 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
         [jnp.ones((Sp, 1), dtype),
          (cells_p[:, None] == jnp.arange(1, C, dtype=jnp.int32)[None, :]
           ).astype(dtype)], axis=1)
-    # per-chunk slices stacked for lax.scan: leading axis = chunk index
-    ys = counts_p.reshape(G, n_chunks, chunk).transpose(1, 0, 2)
+    # The counts stay in their natural (G, Sp) layout — no transposed
+    # stacked copy (at 30k x 50k that copy alone is another ~6 GB of
+    # HBM).  Scans iterate over the chunk index and dynamic-slice the
+    # sample window out of the resident matrix; the small per-sample
+    # vectors are stacked per chunk as before.
+    idxs = jnp.arange(n_chunks, dtype=jnp.int32)
+
+    def chunk_of(cnt, i):
+        zero = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_slice(
+            cnt, (zero, (i * chunk).astype(jnp.int32)),
+            (cnt.shape[0], chunk))
+
     sfs = sf_p.reshape(n_chunks, chunk)
     cls = cells_p.reshape(n_chunks, chunk)
     vs = valid_p.reshape(n_chunks, chunk)
@@ -81,7 +92,8 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     # ---- base stats + group means q (G,C): one streamed pass ----
     def stats_body(carry, xc):
         s_yn, s_yn2, s_qn, tot, n_c = carry
-        y_c, sf_c, cl_c, v_c = xc
+        i_c, sf_c, cl_c, v_c = xc
+        y_c = chunk_of(counts_p, i_c)
         yn = y_c.astype(dtype) / sf_c[None, :]
         oh = (jax.nn.one_hot(cl_c, C, dtype=dtype) * v_c[:, None])
         s_yn += yn.sum(axis=1)
@@ -95,7 +107,7 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     z_g = jnp.zeros(G, dtype)
     (s_yn, s_yn2, q_num, tot, n_c), _ = jax.lax.scan(
         stats_body, (z_g, z_g, jnp.zeros((G, C), dtype), z_g,
-                     jnp.zeros(C, dtype)), (ys, sfs, cls, vs))
+                     jnp.zeros(C, dtype)), (idxs, sfs, cls, vs))
     base_mean = s_yn / n_valid
     base_var = (s_yn2 - n_valid * base_mean ** 2) / (n_valid - 1.0)
     all_zero = tot == 0
@@ -107,14 +119,15 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     q_ls = jnp.maximum(q, 1.0)
 
     def rough_body(acc, xc):
-        y_c, sf_c, cl_c, v_c = xc
+        i_c, sf_c, cl_c, v_c = xc
+        y_c = chunk_of(counts_p, i_c)
         yn = y_c.astype(dtype) / sf_c[None, :]
         mu_ls = q_ls[:, cl_c]
         acc += jnp.sum(v_c[None, :] * ((yn - mu_ls) ** 2 - mu_ls)
                        / mu_ls ** 2, axis=1)
         return acc, None
 
-    rough_sum, _ = jax.lax.scan(rough_body, z_g, (ys, sfs, cls, vs))
+    rough_sum, _ = jax.lax.scan(rough_body, z_g, (idxs, sfs, cls, vs))
     rough = jnp.maximum(rough_sum / (S - p), 0.0)
     moments = (base_var - xim * base_mean) / base_mean ** 2
     alpha_init = jnp.minimum(rough, jnp.where(all_zero, rough, moments))
@@ -125,9 +138,9 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     # path — exact for the group design; R/core.R:754-764)
     q_mu = jnp.where(all_zero[:, None], 1.0, q)
 
-    def make_lp_dlp(ys_, q_):
+    def make_lp_dlp(cnt, q_):
         """Streamed fused log-posterior + derivative for a gene block
-        (ys_: (n_chunks, g, chunk); q_: (g, C) clamped group means)."""
+        (cnt: (g, Sp) resident counts; q_: (g, C) clamped group means)."""
         def lp_dlp(la, use_prior, pm, pv):
             g = la.shape[0]
             alpha = jnp.exp(la)
@@ -135,8 +148,8 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
 
             def body(carry, xc):
                 ll, s1, b, db = carry
-                y_c, sf_c, cl_c, v_c, xx_c = xc
-                y_f = y_c.astype(dtype)
+                i_c, sf_c, cl_c, v_c, xx_c = xc
+                y_f = chunk_of(cnt, i_c).astype(dtype)
                 mu = jnp.maximum(q_[:, cl_c] * sf_c[None, :], min_mu)
                 mu = jnp.where(v_c[None, :] > 0, mu, 1.0)
                 mu_inv_a = mu + inv_a[:, None]
@@ -157,7 +170,7 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
             (ll, s1, b, db), _ = jax.lax.scan(
                 body, (-n_valid * gammaln(inv_a),
                        n_valid * digamma(inv_a), z_pp, z_pp),
-                (ys_, sfs, cls, vs, xxs))
+                (idxs, sfs, cls, vs, xxs))
             bm = b.reshape(g, p, p)
             _, logdet = jnp.linalg.slogdet(bm)
             binv = jnp.linalg.inv(bm)
@@ -176,7 +189,7 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
         straggler compaction: once the live set fits G//8, gather those
         genes' count rows and finish on the compacted block — tail
         iterations then cost cap/G of a full HBM sweep."""
-        lp_dlp = make_lp_dlp(ys, q_mu)
+        lp_dlp = make_lp_dlp(counts_p, q_mu)
         lp0, dlp0 = lp_dlp(la0, use_prior, pm, pv)
         eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
         tol = jnp.maximum(1e-6, jnp.abs(lp0) * 50.0 * eps)
@@ -237,7 +250,7 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
                 (jnp.sum(1.0 - s[7]) > cap), body_full, state)
             live = s[7] < 0.5
             idx = compact_live_indices(live, cap)
-            ys_c = jnp.take(ys, idx, axis=1)
+            ys_c = jnp.take(counts_p, idx, axis=0)
             q_c = q_mu[idx]
             pm_c = pm[idx] if jnp.ndim(pm) else pm
             sub = (s[0],) + tuple(v[idx] for v in s[1:])
@@ -254,7 +267,7 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     def grid_search_subset(idx, pm, pv, use_prior):
         """Two-stage grid search (cpp:468-513) on a compacted gene
         subset (idx: (cap,) gene indices)."""
-        lp_dlp = make_lp_dlp(jnp.take(ys, idx, axis=1), q_mu[idx])
+        lp_dlp = make_lp_dlp(jnp.take(counts_p, idx, axis=0), q_mu[idx])
         g = idx.shape[0]
         pm_c = pm[idx] if jnp.ndim(pm) else pm
 
@@ -348,15 +361,15 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     # one-factor design the LS solution is the per-group mean of
     # log(yn + 0.1), accumulated in one streamed pass
     def logls_body(acc, xc):
-        y_c, sf_c, cl_c, v_c = xc
-        yn = y_c.astype(dtype) / sf_c[None, :]
+        i_c, sf_c, cl_c, v_c = xc
+        yn = chunk_of(counts_p, i_c).astype(dtype) / sf_c[None, :]
         oh = (jax.nn.one_hot(cl_c, C, dtype=dtype) * v_c[:, None])
         acc += jnp.dot(jnp.log(yn + 0.1), oh,
                        preferred_element_type=dtype)
         return acc, None
 
     logq, _ = jax.lax.scan(logls_body, jnp.zeros((G, C), dtype),
-                           (ys, sfs, cls, vs))
+                           (idxs, sfs, cls, vs))
     logq = logq / n_c[None, :]            # (G,C) group means of log
     beta0 = jnp.concatenate([logq[:, :1], logq[:, 1:] - logq[:, :1]],
                             axis=1)
@@ -364,13 +377,13 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     size = 1.0 / y_alpha
 
     def dev_const_body(acc, xc):
-        y_c, v_c = xc
-        y_f = y_c.astype(dtype)
+        i_c, v_c = xc
+        y_f = chunk_of(counts_p, i_c).astype(dtype)
         acc += jnp.sum(v_c[None, :] * (gammaln(y_f + size[:, None])
                                        - gammaln(y_f + 1.0)), axis=1)
         return acc, None
 
-    dc, _ = jax.lax.scan(dev_const_body, z_g, (ys, vs))
+    dc, _ = jax.lax.scan(dev_const_body, z_g, (idxs, vs))
     dev_const = -2.0 * (dc + n_valid * (size * jnp.log(size)
                                         - gammaln(size)))
 
@@ -378,8 +391,8 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
         """One streamed sweep: (X'WX (G,p,p), X'Wz (G,p), deviance)."""
         def body(carry, xc):
             A, r, dev = carry
-            y_c, sf_c, v_c, x_c, xx_c = xc
-            y_f = y_c.astype(dtype)
+            i_c, sf_c, v_c, x_c, xx_c = xc
+            y_f = chunk_of(counts_p, i_c).astype(dtype)
             mu = jnp.maximum(sf_c[None, :] * jnp.exp(beta @ x_c.T),
                              min_mu)
             w = v_c[None, :] * mu / (1.0 + y_alpha[:, None] * mu)
@@ -395,7 +408,7 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
 
         (A, r, dev), _ = jax.lax.scan(
             body, (jnp.zeros((G, p * p), dtype), jnp.zeros((G, p), dtype),
-                   z_g), (ys, sfs, vs, xs, xxs))
+                   z_g), (idxs, sfs, vs, xs, xxs))
         return A.reshape(G, p, p), r, dev_const + dev
 
     eps = jnp.finfo(dtype).eps
