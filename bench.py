@@ -78,18 +78,44 @@ def main_sc():
     cells = (np.arange(Ss) % 2).astype(np.int32)
     mu0 = np.maximum(2.0 ** rng.normal(-1.0, 2.0, Gs), 0.01)  # UMI-scale
     disp = np.minimum(4.0 / mu0 + 0.3, 20.0)
-    counts = rng.negative_binomial(
-        1.0 / disp[:, None],
-        1.0 / (1.0 + disp[:, None] * mu0[:, None] * np.ones((1, Ss)))
-    ).astype(np.int32)
+
+    # NB counts generated on device (gamma-Poisson mixture) in sample
+    # chunks: host numpy NB sampling of G*S ~ 1.5e9 values takes minutes
+    # and the full-float intermediate would not fit HBM
+    ck = next((c for c in (2500, 2048, 2000, 1024, 1000, 512, 500, 128)
+               if Ss % c == 0), 2048)
+
+    @jax.jit
+    def gen_counts(key, mu0_d, disp_d):
+        n_ck = Ss // ck + (Ss % ck > 0)
+
+        def body(_, xs):
+            k = xs
+            k1, k2 = jax.random.split(k)
+            shape = 1.0 / disp_d[:, None]
+            lam = jax.random.gamma(k1, shape, (Gs, ck),
+                                   dtype=jnp.float32) * (
+                disp_d[:, None] * mu0_d[:, None])
+            y = jax.random.poisson(k2, lam, dtype=jnp.int32)
+            return None, y
+
+        keys = jax.random.split(key, n_ck)
+        _, ys = jax.lax.scan(body, None, keys)
+        return ys.transpose(1, 0, 2).reshape(Gs, n_ck * ck)[:, :Ss]
+
+    counts_d = gen_counts(jax.random.PRNGKey(0), jnp.asarray(mu0),
+                          jnp.asarray(disp))
+    counts_d.block_until_ready()
     sf = np.ones(Ss)
     grid = np.linspace(np.log(1e-8), np.log(max(10.0, Ss)), 20)
-    counts_d = jnp.asarray(counts)
     args = (counts_d, jnp.asarray(cells), jnp.asarray(sf, jnp.float32),
             jnp.asarray(grid, jnp.float32))
 
+    chunk = next((c for c in (2048, 2500, 2000, 1024, 1000, 512, 500)
+                  if Ss % c == 0), 2048)
+
     def run_sync():
-        out = fused_sc_pipeline(*args, n_groups=2)
+        out = fused_sc_pipeline(*args, n_groups=2, chunk=chunk)
         return np.asarray(out["stat"])
 
     run_sync()

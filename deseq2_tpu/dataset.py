@@ -361,6 +361,40 @@ class DESeqDataSet:
     def counts_normalized(self):
         return self.counts.astype(np.float64) / self.size_or_norm_factors()
 
+    def get_counts(self, normalized=False, replaced=False):
+        """Reference counts(dds, normalized=, replaced=) accessor
+        (R/methods.R:1-29)."""
+        if replaced:
+            if "replaceCounts" in self.assays:
+                cnts = self.assays["replaceCounts"]
+            else:
+                warnings.warn(
+                    "there are no assays named 'replaceCounts', using "
+                    "original. calling deseq() will replace outliers if "
+                    "they are detected and store this assay.")
+                cnts = self.counts
+        else:
+            cnts = self.counts
+        if not normalized:
+            return cnts
+        if self.normalization_factors is not None:
+            return cnts / self.normalization_factors
+        if self.size_factors is None or np.any(np.isnan(self.size_factors)):
+            raise ValueError("first calculate size factors, add "
+                             "normalizationFactors, or set normalized=FALSE")
+        return cnts / self.size_factors[None, :]
+
+    def coef(self, se=False):
+        """Matrix of fitted log2 coefficients (or their SEs with
+        se=True); reference coef.DESeqDataSet (R/methods.R:749-765)."""
+        nms = self.results_names()
+        if not nms:
+            raise ValueError("no coefficients have been generated yet, "
+                             "first call deseq()")
+        cols = nms if not se else [f"SE_{n}" for n in nms]
+        return np.column_stack([np.asarray(self.row_data[c], np.float64)
+                                for c in cols])
+
     def set_row_data(self, name, values, type_, description):
         self.row_data[name] = np.asarray(values)
         self.row_meta[name] = (type_, description)

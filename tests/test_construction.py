@@ -134,3 +134,24 @@ def test_tidy_first_column_rownames():
 def test_integer_conversion_message():
     with pytest.warns(DESeqMessage, match="integer mode"):
         dataset_from_matrix(CTS.astype(np.float64), coldata(), "~ x")
+
+
+def test_counts_accessor_and_coef():
+    """counts(normalized=, replaced=) and coef() accessors
+    (R/methods.R:1-29,749-765)."""
+    import deseq2_tpu as dt
+    dds = dt.deseq(dt.make_example_dataset(n=40, m=6, seed=8))
+    cn = dds.get_counts(normalized=True)
+    assert np.allclose(cn, dds.counts / dds.size_factors[None, :])
+    with pytest.warns(UserWarning, match="replaceCounts"):
+        r = dds.get_counts(replaced=True)
+    assert np.array_equal(r, dds.counts)
+    b = dds.coef()
+    s = dds.coef(se=True)
+    assert b.shape == (40, 2) and s.shape == (40, 2)
+    assert np.allclose(b[:, 1],
+                       np.asarray(dds.row_data["condition_B_vs_A"], float),
+                       equal_nan=True)
+    fresh = dt.make_example_dataset(n=10, m=4, seed=1)
+    with pytest.raises(ValueError, match="no coefficients"):
+        fresh.coef()
