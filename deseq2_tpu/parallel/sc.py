@@ -138,9 +138,14 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     # path — exact for the group design; R/core.R:754-764)
     q_mu = jnp.where(all_zero[:, None], 1.0, q)
 
-    def make_lp_dlp(cnt, q_):
+    def make_lp_dlp(cnt, q_, row_idx=None):
         """Streamed fused log-posterior + derivative for a gene block
-        (cnt: (g, Sp) resident counts; q_: (g, C) clamped group means)."""
+        (cnt: (G, Sp) resident counts; q_: (g, C) clamped group means;
+        row_idx: optional (g,) compacted gene indices).  Compacted
+        blocks gather their rows per streamed chunk — gathering from
+        the whole (G, Sp) matrix at 30k x 50k makes XLA materialize
+        half-matrix slice temporaries (~2.8 GB each) plus a relayout
+        copy of the full counts, which OOMs a 16 GB chip."""
         def lp_dlp(la, use_prior, pm, pv):
             g = la.shape[0]
             alpha = jnp.exp(la)
@@ -149,7 +154,10 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
             def body(carry, xc):
                 ll, s1, b, db = carry
                 i_c, sf_c, cl_c, v_c, xx_c = xc
-                y_f = chunk_of(cnt, i_c).astype(dtype)
+                y_blk = chunk_of(cnt, i_c)
+                if row_idx is not None:
+                    y_blk = jnp.take(y_blk, row_idx, axis=0)
+                y_f = y_blk.astype(dtype)
                 mu = jnp.maximum(q_[:, cl_c] * sf_c[None, :], min_mu)
                 mu = jnp.where(v_c[None, :] > 0, mu, 1.0)
                 mu_inv_a = mu + inv_a[:, None]
@@ -250,11 +258,10 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
                 (jnp.sum(1.0 - s[7]) > cap), body_full, state)
             live = s[7] < 0.5
             idx = compact_live_indices(live, cap)
-            ys_c = jnp.take(counts_p, idx, axis=0)
             q_c = q_mu[idx]
             pm_c = pm[idx] if jnp.ndim(pm) else pm
             sub = (s[0],) + tuple(v[idx] for v in s[1:])
-            body_sub = make_body(make_lp_dlp(ys_c, q_c), pm_c, pv)
+            body_sub = make_body(make_lp_dlp(counts_p, q_c, idx), pm_c, pv)
             sub = jax.lax.while_loop(
                 lambda s_: (s_[0] < maxit) &
                 (jnp.max(1.0 - s_[7]) > 0.5), body_sub, sub)
@@ -267,7 +274,7 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     def grid_search_subset(idx, pm, pv, use_prior):
         """Two-stage grid search (cpp:468-513) on a compacted gene
         subset (idx: (cap,) gene indices)."""
-        lp_dlp = make_lp_dlp(jnp.take(counts_p, idx, axis=0), q_mu[idx])
+        lp_dlp = make_lp_dlp(counts_p, q_mu[idx], idx)
         g = idx.shape[0]
         pm_c = pm[idx] if jnp.ndim(pm) else pm
 
