@@ -89,23 +89,30 @@ def main_sc():
     def gen_counts(key, mu0_d, disp_d):
         n_ck = Ss // ck + (Ss % ck > 0)
 
-        def body(_, xs):
-            k = xs
+        def body(buf, xs):
+            k, i = xs
             k1, k2 = jax.random.split(k)
             shape = 1.0 / disp_d[:, None]
             lam = jax.random.gamma(k1, shape, (Gs, ck),
                                    dtype=jnp.float32) * (
                 disp_d[:, None] * mu0_d[:, None])
             y = jax.random.poisson(k2, lam, dtype=jnp.int32)
-            return None, y
+            buf = jax.lax.dynamic_update_slice(
+                buf, y, (jnp.zeros((), jnp.int32),
+                         (i * ck).astype(jnp.int32)))
+            return buf, None
 
         keys = jax.random.split(key, n_ck)
-        _, ys = jax.lax.scan(body, None, keys)
-        return ys.transpose(1, 0, 2).reshape(Gs, n_ck * ck)[:, :Ss]
+        buf0 = jnp.zeros((Gs, n_ck * ck), jnp.int32)
+        buf, _ = jax.lax.scan(body, buf0,
+                              (keys, jnp.arange(n_ck, dtype=jnp.int32)))
+        return buf[:, :Ss] if n_ck * ck != Ss else buf
 
     counts_d = gen_counts(jax.random.PRNGKey(0), jnp.asarray(mu0),
                           jnp.asarray(disp))
-    counts_d.block_until_ready()
+    # force completion before the pipeline compiles/runs (on the axon
+    # platform block_until_ready does not block; a host fetch does)
+    _ = np.asarray(counts_d[:2, :8])
     sf = np.ones(Ss)
     grid = np.linspace(np.log(1e-8), np.log(max(10.0, Ss)), 20)
     args = (counts_d, jnp.asarray(cells), jnp.asarray(sf, jnp.float32),

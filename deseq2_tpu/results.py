@@ -424,7 +424,7 @@ def pvalue_adjustment(res, independent_filtering, filter, theta, alpha,
 
 def check_contrast(contrast, res_names):
     """(reference checkContrast, R/results.R:1146-1201)"""
-    if isinstance(contrast, (list,)) and len(contrast) in (1, 2) \
+    if isinstance(contrast, (list, tuple)) and len(contrast) in (1, 2) \
             and all(isinstance(c, (list, tuple)) for c in contrast):
         if len(contrast) == 1:
             contrast = [list(contrast[0]), []]
