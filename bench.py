@@ -6,9 +6,18 @@ Wald statistics -> Cook's distances -> count-outlier replacement +
 refit -> Cook's p masking -> independent filtering + BH;
 deseq2_tpu/parallel/fused.py:fused_results — the deseq()+results()
 equivalent, proven column-identical to the host-exact path by
-tests/test_fused_exact.py) on the default bulk configuration from
-BASELINE.json: 60k genes x 128 samples, ~condition design
-(BENCH_SAMPLES=1024 for the 60k x 1k config).
+tests/test_fused_exact.py) on the BASELINE.json build-target
+configuration: 60k genes x 1024 samples, ~condition design.
+(BENCH_SAMPLES=128 selects the smaller bulk config.)
+
+Accuracy gate: before timing, a 2048-gene slice of the same generator
+is run through (a) this process's f32 chip path and (b) the f64
+exact XLA path on CPU in a subprocess (JAX_PLATFORMS=cpu,
+DESEQ2_TPU_X64=1 — the configuration the test suite validates against
+the reference contract).  The throughput number is only printed if the
+f32 results agree with f64: bounded max |delta log2FC|, bounded
+|delta log10 p|, and >=99.5% agreement of the alpha=0.1 rejection set.
+BENCH_SKIP_GATE=1 skips it (for quick interactive timing only).
 
 Baseline: the reference (thelovelab/DESeq2) publishes no formal
 throughput benchmark; its vignette claims "less than 30 seconds for most
@@ -16,14 +25,19 @@ analyses" on typical bulk datasets (~10-60k genes) on one CPU core
 (vignettes/DESeq2.Rmd:723-725).  We take the generous reading — 60,000
 genes / 30 s = 2,000 genes/s single-core — as the reference number
 (BASELINE.md; R is not present in this image so it cannot be re-measured
-here).
+here).  For S>128 the baseline is EXTRAPOLATED from that number by the
+reference's own linear-in-samples cost model (NEWS:179-187); the JSON
+carries "baseline_extrapolated": true in that case and the raw genes/s
+value is the primary metric.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 os.environ.setdefault("DESEQ2_TPU_X64", "0")  # f32 fast path on TPU
@@ -31,7 +45,8 @@ os.environ.setdefault("DESEQ2_TPU_X64", "0")  # f32 fast path on TPU
 import numpy as np  # noqa: E402
 
 G = int(os.environ.get("BENCH_GENES", 60000))
-S = int(os.environ.get("BENCH_SAMPLES", 128))
+S = int(os.environ.get("BENCH_SAMPLES", 1024))
+GATE_GENES = int(os.environ.get("BENCH_GATE_GENES", 2048))
 
 
 def baseline_genes_per_sec(n_samples):
@@ -44,8 +59,8 @@ def baseline_genes_per_sec(n_samples):
     (NEWS:179-187, the v1.26 linear-in-n rewrite), so its single-core
     throughput at S>128 scales as 128/S.  R is not in this image, so
     the 60k x 1k single-core number BASELINE.md calls for cannot be
-    measured directly; this is the documented extrapolation.
-    """
+    measured directly; this is the documented extrapolation (flagged
+    with baseline_extrapolated in the JSON output)."""
     return 2000.0 * min(1.0, 128.0 / float(n_samples))
 
 
@@ -64,13 +79,89 @@ def make_inputs(G, S, seed=0):
     return counts, x, sf, grid
 
 
+# --------------------------------------------------------------------------
+# accuracy gate: f32 chip path vs f64 CPU exact path on the same slice
+# --------------------------------------------------------------------------
+
+_GATE_WORKER = r"""
+import json, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+from bench import make_inputs
+counts, x, sf, grid = make_inputs({g}, {s}, seed=0)
+counts = counts[:{gate_g}]
+from deseq2_tpu.parallel.fused import fused_results
+res = fused_results(counts, x, sf, two_group=True)
+np.savez({out!r}, lfc=res["log2FoldChange"], p=res["pvalue"],
+         padj=res["padj"], stat=res["stat"], baseMean=res["baseMean"])
+"""
+
+
+def accuracy_gate():
+    """Compare the f32 chip pipeline vs the f64 CPU exact XLA path on
+    the first GATE_GENES genes of the benchmark generator.  Raises on
+    disagreement; returns the gate summary dict."""
+    import jax
+    from deseq2_tpu.parallel.fused import fused_results
+
+    counts, x, sf, grid = make_inputs(G, S, seed=0)
+    sub = counts[:GATE_GENES]
+    res32 = fused_results(sub, x, sf, two_group=True)
+
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "f64.npz")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        code = _GATE_WORKER.format(repo=repo, g=G, s=S,
+                                   gate_g=GATE_GENES, out=out)
+        env = {k: v for k, v in os.environ.items()
+               if k != "PALLAS_AXON_POOL_IPS"}
+        env.update(JAX_PLATFORMS="cpu", DESEQ2_TPU_X64="1")
+        subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                       cwd=repo)
+        f64 = np.load(out)
+
+    lfc32 = np.asarray(res32["log2FoldChange"], np.float64)
+    lfc64 = f64["lfc"]
+    p32 = np.asarray(res32["pvalue"], np.float64)
+    p64 = f64["p"]
+    padj32 = np.asarray(res32["padj"], np.float64)
+    padj64 = f64["padj"]
+
+    both = np.isfinite(lfc32) & np.isfinite(lfc64)
+    # finite-pattern agreement (allZero / Cook's masking decisions)
+    finite_match = np.mean(np.isfinite(lfc32) == np.isfinite(lfc64))
+    d_lfc = float(np.max(np.abs(lfc32[both] - lfc64[both]))) if both.any() \
+        else 0.0
+    pb = np.isfinite(p32) & np.isfinite(p64)
+    # p-values on the log10 scale, floored: tiny p differ harmlessly in
+    # relative terms; agreement matters where decisions are made
+    lp32 = np.log10(np.maximum(p32[pb], 1e-30))
+    lp64 = np.log10(np.maximum(p64[pb], 1e-30))
+    d_logp = float(np.max(np.abs(lp32 - lp64))) if pb.any() else 0.0
+    rej32 = np.isfinite(padj32) & (padj32 < 0.1)
+    rej64 = np.isfinite(padj64) & (padj64 < 0.1)
+    union = (rej32 | rej64).sum()
+    jacc = float((rej32 & rej64).sum() / union) if union else 1.0
+
+    gate = dict(gate_genes=int(GATE_GENES),
+                gate_max_dlfc=round(d_lfc, 6),
+                gate_max_dlog10p=round(d_logp, 4),
+                gate_rejection_jaccard=round(jacc, 5),
+                gate_finite_match=round(float(finite_match), 5))
+    assert finite_match >= 0.999, f"finite-pattern mismatch: {gate}"
+    assert d_lfc < 0.01, f"f32 log2FC drifted from f64: {gate}"
+    assert d_logp < 0.5, f"f32 p-values drifted from f64: {gate}"
+    assert jacc >= 0.995, f"alpha=0.1 rejection sets diverged: {gate}"
+    return gate
+
+
 def main_sc():
     """Single-cell config (BASELINE #5): BENCH_SC=1, 30k genes x 50k
     cells by default.  Streams the sample axis (parallel/sc.py)."""
     import jax
     import jax.numpy as jnp
 
-    from deseq2_tpu.parallel.sc import fused_sc_pipeline
+    from deseq2_tpu.parallel.sc import fused_sc_results
 
     Gs = int(os.environ.get("BENCH_GENES", 30000))
     Ss = int(os.environ.get("BENCH_SAMPLES", 50000))
@@ -114,26 +205,31 @@ def main_sc():
     # platform block_until_ready does not block; a host fetch does)
     _ = np.asarray(counts_d[:2, :8])
     sf = np.ones(Ss)
-    grid = np.linspace(np.log(1e-8), np.log(max(10.0, Ss)), 20)
-    args = (counts_d, jnp.asarray(cells), jnp.asarray(sf, jnp.float32),
-            jnp.asarray(grid, jnp.float32))
 
     chunk = next((c for c in (2048, 2500, 2000, 1024, 1000, 512, 500)
                   if Ss % c == 0), 2048)
 
     def run_sync():
-        out = fused_sc_pipeline(*args, n_groups=2, chunk=chunk)
-        return np.asarray(out["stat"])
+        # QL path (glmGamPoi-contract: loc_median_fit trend, QL
+        # dispersion shrinkage, quasi-likelihood F-test) with the
+        # independent-filtering tail — the full single-cell DESeq story
+        out = fused_sc_results(counts_d, jnp.asarray(cells),
+                               jnp.asarray(sf, jnp.float32),
+                               n_groups=2, chunk=chunk, test="LRT",
+                               fit_type="glmGamPoi")
+        return out["stat"], out["padj"]
 
     run_sync()
     t0 = time.perf_counter()
-    stat = run_sync()
+    stat, padj = run_sync()
     dt = time.perf_counter() - t0
-    assert np.isfinite(stat).any()
+    assert np.isfinite(stat).mean() > 0.9
+    assert np.isfinite(padj).any()
     print(json.dumps({
-        "metric": f"deseq_sc_genes_per_sec_{Gs}x{Ss}",
+        "metric": f"deseq_sc_ql_genes_per_sec_{Gs}x{Ss}",
         "value": round(Gs / dt, 1), "unit": "genes/s/chip",
         "vs_baseline": round(Gs / dt / baseline_genes_per_sec(Ss), 2),
+        "baseline_extrapolated": True,
     }))
 
 
@@ -142,6 +238,10 @@ def main():
     import jax.numpy as jnp
 
     from deseq2_tpu.parallel.fused import fused_results
+
+    gate = None
+    if os.environ.get("BENCH_SKIP_GATE") != "1":
+        gate = accuracy_gate()
 
     counts, x, sf, grid = make_inputs(G, S)
     counts = jnp.asarray(counts)  # upload once; steady-state = on-device
@@ -155,22 +255,31 @@ def main():
         return res["stat"], res["padj"]
 
     run_sync()  # warmup (compile)
+    run_sync()  # second warmup: steady-state caches, tunnel settled
 
-    reps = 3
-    t0 = time.perf_counter()
+    reps = int(os.environ.get("BENCH_REPS", 5))
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         stat, padj = run_sync()
-    dt = (time.perf_counter() - t0) / reps
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     assert np.isfinite(stat).mean() > 0.95
     assert np.isfinite(padj).mean() > 0.5
 
     genes_per_sec = G / dt
-    print(json.dumps({
+    line = {
         "metric": f"deseq_wald_genes_per_sec_{G}x{S}",
         "value": round(genes_per_sec, 1),
         "unit": "genes/s/chip",
         "vs_baseline": round(genes_per_sec / baseline_genes_per_sec(S), 2),
-    }))
+    }
+    if S > 128:
+        line["baseline_extrapolated"] = True
+    if gate is not None:
+        line.update(gate)
+    line["rep_times_s"] = [round(t, 4) for t in times]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
