@@ -167,12 +167,13 @@ def _bh_adjust(p, valid):
 @partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "mesh", "cells",
                                    "two_group", "min_replicates", "alpha",
                                    "reduced_intercept", "linear_mu",
-                                   "beta_prior"))
+                                   "beta_prior", "contrast", "use_t"))
 def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         min_disp_pow=-8, mesh=None, cells=None,
                         two_group=False, min_replicates=7, alpha=0.1,
                         x_reduced=None, reduced_intercept=False,
-                        linear_mu=True, beta_prior=False):
+                        linear_mu=True, beta_prior=False, contrast=None,
+                        use_t=False):
     """counts: (G,S) int; x: (S,p); size_factors: (S,); grid: (20,) log
     alpha grid.  Returns per-gene results dict (log2 scale LFC/SE/stat/p,
     plus dispersions and diagnostics).
@@ -239,8 +240,21 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     if beta_prior and (lrt or cells is None):
         raise ValueError("fused beta_prior requires cells (a single-factor "
                          "group design) and test='Wald'")
+    if contrast is not None:
+        contrast = tuple(float(c) for c in contrast)
 
-    from jax.scipy.special import gammaln
+    from jax.scipy.special import betainc, gammaln
+
+    # Wald p-values: normal, or t with df = m - p when use_t (the
+    # weights-free branch of R/core.R:1478-1508; fused has no weights)
+    t_df = float(S - p)
+
+    def two_sided_p(stat):
+        if use_t:
+            return betainc(jnp.asarray(t_df / 2.0, dtype),
+                           jnp.asarray(0.5, dtype),
+                           t_df / (t_df + stat * stat))
+        return erfc(jnp.abs(stat) / jnp.sqrt(2.0).astype(dtype))
 
     def nb_loglik(y_loc, mu, alpha_vec):
         """Row NB log-likelihood at unclamped mu (nbinomLogLike,
@@ -399,6 +413,24 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                    beta=fit["beta"], beta_var=fit["beta_var"],
                    beta_iter=fit["iter"], mu=mu_out,
                    hat=fit["hat_diag"], deviance=fit["deviance"])
+        if contrast is not None and not beta_prior:
+            # arbitrary-contrast num/den from the sandwich at the final
+            # (clamped kernel) mu — getContrast's maxit=0 fitBeta
+            # re-entry (R/results.R:760-827, src cpp:429-455), on device
+            cvec_s = jnp.asarray(contrast, dtype)
+            # mu recomputed from the final betas exactly as the host's
+            # maxit=0 re-entry does (incl. diverged rows, where the
+            # kernel's internal mu kept the pre-divergence value)
+            mu_cl = jnp.maximum(mu_out, min_mu)
+            w_c = mu_cl / (1.0 + dispersion[:, None] * mu_cl)
+            xx_std = (x[:, :, None] * x[:, None, :]).reshape(S, p * p)
+            xtwx = (w_c @ xx_std).reshape(-1, p, p)
+            A_c = xtwx + jnp.diag(lam_nat)[None]
+            Ainv_c = jnp.linalg.inv(A_c)
+            sigma_c = Ainv_c @ xtwx @ Ainv_c
+            out["num"] = fit["beta"] @ cvec_s
+            out["den"] = jnp.sqrt(
+                jnp.einsum("i,gij,j->g", cvec_s, sigma_c, cvec_s))
         if lrt:
             ll_full = nb_loglik(y_safe, mu_out, dispersion)
             if reduced_intercept:
@@ -441,8 +473,15 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             [_np.ones(S)] + [(cells_arr == l).astype(float)
                              for l in range(n_lvls)]), dtype)
         xx_exp = (x_exp[:, :, None] * x_exp[:, None, :]).reshape(S, pe * pe)
-        # default results contrast: last level vs first (R/results.R:389-398)
-        cvec = jnp.zeros(pe, dtype).at[1].set(-1.0).at[pe - 1].set(1.0)
+        # results contrast over the expanded columns: user-supplied, or
+        # the default last level vs first (R/results.R:389-398)
+        if contrast is not None:
+            if len(contrast) != pe:
+                raise ValueError(f"beta_prior contrast must have {pe} "
+                                 "entries (expanded model matrix columns)")
+            cvec = jnp.asarray(contrast, dtype)
+        else:
+            cvec = jnp.zeros(pe, dtype).at[1].set(-1.0).at[pe - 1].set(1.0)
 
         def chain_prior(y_safe, norm_c, all_zero_l, disp_l, v_):
             """Expanded-matrix ridge refit + default contrast
@@ -605,6 +644,9 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                     if lrt:
                         d["ll_full"] = post2["ll_full"]
                         d["ll_reduced"] = post2["ll_reduced"]
+                    if contrast is not None and not beta_prior:
+                        d["num"] = post2["num"]
+                        d["den"] = post2["den"]
                     if beta_prior:
                         # refit reuses the SAVED prior variance
                         # (refitWithoutOutliers passes betaPriorVar,
@@ -661,6 +703,9 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             if lrt:
                 tmpl["ll_full"] = post["ll_full"]
                 tmpl["ll_reduced"] = post["ll_reduced"]
+            if contrast is not None and not beta_prior:
+                tmpl["num"] = post["num"]
+                tmpl["den"] = post["den"]
             if beta_prior:
                 tmpl.update(beta_e=pr["beta_e"], beta_var_e=pr["beta_var_e"],
                             iter_e=pr["iter_e"], num=pr["num"],
@@ -680,6 +725,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             if lrt:
                 post = dict(post, ll_full=spl["ll_full"],
                             ll_reduced=spl["ll_reduced"])
+            if contrast is not None and not beta_prior:
+                post = dict(post, num=spl["num"], den=spl["den"])
             if beta_prior:
                 pr = dict(beta_e=spl["beta_e"],
                           beta_var_e=spl["beta_var_e"],
@@ -703,10 +750,22 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     beta_log2 = LOG2E * beta_nat
     se_log2 = LOG2E * jnp.sqrt(jnp.maximum(beta_var, 0.0))
     wald_stat = beta_log2 / se_log2
-    wald_p = erfc(jnp.abs(wald_stat) / jnp.sqrt(2.0).astype(dtype))
+    wald_p = two_sided_p(wald_stat)
 
-    # ---- default-contrast results tail: Cook's masking, zeroed rows,
-    # independent filtering (R/results.R:520-575, 638-718) ----
+    def numeric_zero_zero(cvals, xmat):
+        """contrastAllZeroNumeric (R/results.R:1245-1270): rows where
+        every count is zero across the samples the contrast involves
+        (mixed-sign contrasts only)."""
+        import numpy as _npz
+        ca = _npz.asarray(cvals)
+        if (ca >= 0).all() or (ca <= 0).all():
+            return jnp.zeros(G, bool)
+        cbin = jnp.asarray((ca != 0).astype(float), dtype)
+        which = (xmat @ cbin) != 0
+        return jnp.sum(y * which[None, :].astype(dtype), axis=1) == 0
+
+    # ---- results tail: Cook's masking, zeroed rows, independent
+    # filtering (R/results.R:520-575, 638-718) ----
     if lrt:
         from jax.scipy.special import gammaincc
         df = p - (1 if reduced_intercept else x_reduced.shape[1])
@@ -716,22 +775,38 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         p_last = jnp.where(all_zero, jnp.nan, lrt_p)
         out["LRTStatistic"] = stat_last
         out["LRTPvalue"] = p_last
+        if contrast is not None:
+            # LFC/SE from the contrast sandwich; the zero-zero rule
+            # zeroes only the LFC here — the LRT stat/p overwrite wins
+            # afterwards (R/results.R:1021-1037)
+            lfc_last = jnp.where(all_zero, jnp.nan, LOG2E * post["num"])
+            se_last = jnp.where(all_zero, jnp.nan, LOG2E * post["den"])
+            zz = numeric_zero_zero(contrast, x) & ~all_zero
+            lfc_last = jnp.where(zz, 0.0, lfc_last)
+        else:
+            lfc_last = jnp.where(all_zero, jnp.nan, beta_log2[:, -1])
+            se_last = jnp.where(all_zero, jnp.nan, se_log2[:, -1])
     elif beta_prior:
-        # default contrast (last level vs first) from the expanded MAP
+        # contrast (default: last level vs first) from the expanded MAP
         # fit: stat = c'beta / sqrt(c' sigma c) (R/results.R:797-818)
         lfc_last = jnp.where(all_zero, jnp.nan, LOG2E * pr["num"])
         se_last = jnp.where(all_zero, jnp.nan, LOG2E * pr["den"])
         stat_last = jnp.where(all_zero, jnp.nan, pr["num"] / pr["den"])
-        p_last = erfc(jnp.abs(stat_last) / jnp.sqrt(2.0).astype(dtype))
+        p_last = two_sided_p(stat_last)
         p_last = jnp.where(all_zero, jnp.nan, p_last)
-        # zero-zero contrast rule: both involved groups all zero ->
-        # LFC=0, stat=0, p=1 (R/results.R:956-959, 1237-1270)
-        import numpy as _np2
-        carr = _np2.asarray(cells)
-        first_cols = tuple(_np2.where(carr == 0)[0])
-        last_cols = tuple(_np2.where(carr == carr.max())[0])
-        zz = (jnp.sum(y[:, first_cols], axis=1) == 0) & \
-            (jnp.sum(y[:, last_cols], axis=1) == 0) & ~all_zero
+        # zero-zero contrast rule: LFC=0, stat=0, p=1.  Default contrast
+        # uses the character-level rule (both involved groups all zero,
+        # R/results.R:956-959, 1237-1243); a user-supplied numeric
+        # contrast uses the numeric rule (R/results.R:1245-1270).
+        if contrast is None:
+            import numpy as _np2
+            carr = _np2.asarray(cells)
+            first_cols = tuple(_np2.where(carr == 0)[0])
+            last_cols = tuple(_np2.where(carr == carr.max())[0])
+            zz = (jnp.sum(y[:, first_cols], axis=1) == 0) & \
+                (jnp.sum(y[:, last_cols], axis=1) == 0) & ~all_zero
+        else:
+            zz = numeric_zero_zero(contrast, x_exp) & ~all_zero
         lfc_last = jnp.where(zz, 0.0, lfc_last)
         stat_last = jnp.where(zz, 0.0, stat_last)
         p_last = jnp.where(zz, 1.0, p_last)
@@ -739,12 +814,22 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         beta_log2 = LOG2E * pr["beta_e"]
         se_log2 = LOG2E * jnp.sqrt(jnp.maximum(pr["beta_var_e"], 0.0))
         wald_stat = beta_log2 / se_log2
-        wald_p = erfc(jnp.abs(wald_stat) / jnp.sqrt(2.0).astype(dtype))
+        wald_p = two_sided_p(wald_stat)
         beta_iter = pr["iter_e"]
+    elif contrast is not None:
+        # arbitrary contrast at fused speed (getContrast equivalent)
+        lfc_last = jnp.where(all_zero, jnp.nan, LOG2E * post["num"])
+        se_last = jnp.where(all_zero, jnp.nan, LOG2E * post["den"])
+        stat_last = jnp.where(all_zero, jnp.nan,
+                              post["num"] / post["den"])
+        p_last = jnp.where(all_zero, jnp.nan, two_sided_p(stat_last))
+        zz = numeric_zero_zero(contrast, x) & ~all_zero
+        lfc_last = jnp.where(zz, 0.0, lfc_last)
+        stat_last = jnp.where(zz, 0.0, stat_last)
+        p_last = jnp.where(zz, 1.0, p_last)
     else:
         p_last = jnp.where(all_zero, jnp.nan, wald_p[:, -1])
         stat_last = jnp.where(all_zero, jnp.nan, wald_stat[:, -1])
-    if not beta_prior:
         lfc_last = jnp.where(all_zero, jnp.nan, beta_log2[:, -1])
         se_last = jnp.where(all_zero, jnp.nan, se_log2[:, -1])
 
@@ -826,7 +911,8 @@ def _reduced_args(reduced):
 
 def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                       min_disp=1e-8, cells=None, two_group=False,
-                      alpha=0.1, reduced=None, beta_prior=False):
+                      alpha=0.1, reduced=None, beta_prior=False,
+                      contrast=None, use_t=False):
     """Run the fused pipeline with the genes axis sharded over `mesh`."""
     import numpy as np
     from .sharding import pad_to_multiple, replicated, shard_genes
@@ -850,7 +936,8 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                               mesh=mesh if n_dev > 1 else None,
                               cells=cells, two_group=two_group, alpha=alpha,
                               x_reduced=x_red, reduced_intercept=red_int,
-                              linear_mu=lin_mu, beta_prior=beta_prior)
+                              linear_mu=lin_mu, beta_prior=beta_prior,
+                              contrast=contrast, use_t=use_t)
     return {k: np.asarray(v)[:G] if np.ndim(v) and np.shape(v)[0] ==
             counts_p.shape[0] else np.asarray(v) for k, v in out.items()}
 
@@ -858,15 +945,24 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
 def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                   alpha=0.1, independent_filtering=True, mesh=None,
                   two_group=False, min_replicates=7, devices=None,
-                  reduced=None, beta_prior=False):
-    """Full default-contrast DESeq results via the fused pipeline.
+                  reduced=None, beta_prior=False, contrast=None,
+                  use_t=False):
+    """Full DESeq results via the fused pipeline.
 
     Equivalent of deseq() + results() for the default bulk configuration
     (last-coefficient Wald contrast — or the LRT against `reduced` — with
     parametric trend, no weights): runs the on-device pipeline (incl.
     Cook's masking, outlier refit, and the filtered-BH theta grid), then
     finishes independent filtering's 50-scalar lowess cutoff choice on
-    host (R/results.R:661-698) and returns the results-table columns."""
+    host (R/results.R:661-698) and returns the results-table columns.
+
+    `contrast`: optional numeric contrast vector over the model-matrix
+    columns (the expanded columns [intercept, one per level] under
+    beta_prior) — the getContrast equivalent (R/results.R:760-827) at
+    fused speed.  Character-triple contrasts resolve to such a vector on
+    host via the model-matrix column names (results.clean_contrast);
+    `use_t` switches Wald p-values to the t with df = m - p
+    (R/core.R:1478-1508)."""
     import numpy as np
     from ..results import choose_filter_theta
 
@@ -874,12 +970,15 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
     cells = design_cells(x_np)
     grid = np.linspace(np.log(min_disp),
                        np.log(max(10.0, counts.shape[1])), 20)
+    if contrast is not None:
+        contrast = tuple(float(c) for c in np.asarray(contrast).ravel())
     if mesh is not None:
         out = run_fused_sharded(np.asarray(counts), x_np, size_factors,
                                 mesh, maxit=maxit, min_disp=min_disp,
                                 cells=cells, two_group=two_group,
                                 alpha=alpha, reduced=reduced,
-                                beta_prior=beta_prior)
+                                beta_prior=beta_prior, contrast=contrast,
+                                use_t=use_t)
     else:
         x_red, red_int = _reduced_args(reduced)
         lin_mu = len(set(cells)) == x_np.shape[1]
@@ -892,7 +991,8 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                                   x_reduced=None if x_red is None
                                   else jnp.asarray(x_red),
                                   reduced_intercept=red_int,
-                                  linear_mu=lin_mu, beta_prior=beta_prior)
+                                  linear_mu=lin_mu, beta_prior=beta_prior,
+                                  contrast=contrast, use_t=use_t)
 
     # two host round-trips total: the 50-scalar filtering stats (to pick
     # the lowess cutoff), then one batched device_get of all columns —

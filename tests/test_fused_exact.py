@@ -144,3 +144,93 @@ def test_beta_prior_fused_matches_host():
     _cmp(res["stat"], fres["stat"], "stat")
     _cmp(res["pvalue"], fres["pvalue"], "pvalue")
     _cmp(res["padj"], fres["padj"], "padj")
+
+
+def test_fused_numeric_contrast_matches_host():
+    """fused_results(contrast=c) == host results(contrast=c) for an
+    arbitrary numeric contrast (getContrast re-entry, R/results.R:760-827)
+    on a 3-level design."""
+    dds = dt.make_example_dataset(n=300, m=12, beta_sd=1.0, seed=21)
+    cond = dt.Factor(np.repeat(["A", "B", "C"], 4), levels=["A", "B", "C"])
+    dds.col_data["condition"] = cond
+    dds = dt.deseq(dds)
+    c = np.array([0.0, 1.0, -1.0])  # B vs C through the coefficients
+    res = dt.results(dds, contrast=c)
+    fres = fused_results(np.asarray(dds.counts), dds.attrs["modelMatrix"],
+                         dds.size_factors, contrast=c)
+    _cmp(res["log2FoldChange"], fres["log2FoldChange"], "contrast LFC")
+    _cmp(res["lfcSE"], fres["lfcSE"], "contrast SE")
+    _cmp(res["stat"], fres["stat"], "contrast stat")
+    _cmp(res["pvalue"], fres["pvalue"], "contrast pvalue")
+    _cmp(res["padj"], fres["padj"], "contrast padj")
+
+
+def test_fused_contrast_zero_zero_rule():
+    """Mixed-sign numeric contrast on groups that are all zero for some
+    genes: LFC=0/stat=0/p=1 exactly as the host numeric rule."""
+    dds = dt.make_example_dataset(n=200, m=12, beta_sd=1.0, seed=22)
+    cond = dt.Factor(np.repeat(["A", "B", "C"], 4), levels=["A", "B", "C"])
+    dds.col_data["condition"] = cond
+    counts = np.asarray(dds.counts).copy()
+    counts[5, 4:] = 0   # zero in B and C -> contrast B-vs-C all-zero
+    counts[9, :] = 0    # allZero row stays NaN
+    dds.counts[:] = counts
+    dds = dt.deseq(dds)
+    c = np.array([0.0, 1.0, -1.0])
+    res = dt.results(dds, contrast=c)
+    fres = fused_results(counts, dds.attrs["modelMatrix"],
+                         dds.size_factors, contrast=c)
+    assert fres["log2FoldChange"][5] == 0.0
+    assert fres["stat"][5] == 0.0
+    assert fres["pvalue"][5] == 1.0
+    assert np.isnan(fres["pvalue"][9])
+    _cmp(res["log2FoldChange"], fres["log2FoldChange"], "zz LFC")
+    _cmp(res["stat"], fres["stat"], "zz stat")
+    _cmp(res["pvalue"], fres["pvalue"], "zz pvalue")
+
+
+def test_fused_use_t_matches_host():
+    """fused use_t == host deseq(use_t=True) + results() (t p-values
+    with df = m - p, R/core.R:1478-1508)."""
+    dds = dt.make_example_dataset(n=250, m=8, beta_sd=1.0, seed=23)
+    dds = dt.deseq(dds, use_t=True)
+    res = dt.results(dds)
+    fres = fused_results(np.asarray(dds.counts), dds.attrs["modelMatrix"],
+                         dds.size_factors, two_group=True, use_t=True)
+    _cmp(res["log2FoldChange"], fres["log2FoldChange"], "t LFC")
+    _cmp(res["stat"], fres["stat"], "t stat")
+    _cmp(res["pvalue"], fres["pvalue"], "t pvalue")
+    _cmp(res["padj"], fres["padj"], "t padj")
+
+
+def test_fused_use_t_with_contrast():
+    """use_t + numeric contrast together (host getContrast t branch)."""
+    dds = dt.make_example_dataset(n=200, m=9, beta_sd=1.0, seed=24)
+    cond = dt.Factor(np.repeat(["A", "B", "C"], 3), levels=["A", "B", "C"])
+    dds.col_data["condition"] = cond
+    dds = dt.deseq(dds, use_t=True)
+    c = np.array([0.0, -1.0, 1.0])
+    res = dt.results(dds, contrast=c)
+    fres = fused_results(np.asarray(dds.counts), dds.attrs["modelMatrix"],
+                         dds.size_factors, contrast=c, use_t=True)
+    _cmp(res["stat"], fres["stat"], "t contrast stat")
+    _cmp(res["pvalue"], fres["pvalue"], "t contrast pvalue")
+
+
+def test_fused_beta_prior_contrast_matches_host():
+    """beta_prior + explicit expanded-column contrast == host
+    results(contrast=(factor, num, den)) under betaPrior."""
+    dds = dt.make_example_dataset(n=250, m=12, beta_sd=1.0, seed=25)
+    cond = dt.Factor(np.repeat(["A", "B", "C"], 4), levels=["A", "B", "C"])
+    dds.col_data["condition"] = cond
+    dds = dt.deseq(dds, beta_prior=True)
+    res = dt.results(dds, contrast=("condition", "B", "A"))
+    x_std, _ = dds.model_matrix()
+    # expanded columns: [intercept, A, B, C] -> B vs A
+    c = np.array([0.0, -1.0, 1.0, 0.0])
+    fres = fused_results(np.asarray(dds.counts), x_std, dds.size_factors,
+                         beta_prior=True, contrast=c)
+    _cmp(res["log2FoldChange"], fres["log2FoldChange"], "bp contrast LFC")
+    _cmp(res["lfcSE"], fres["lfcSE"], "bp contrast SE")
+    _cmp(res["stat"], fres["stat"], "bp contrast stat")
+    _cmp(res["pvalue"], fres["pvalue"], "bp contrast pvalue")
