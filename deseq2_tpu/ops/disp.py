@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.scipy.special import digamma, gammaln, polygamma
 
 from .linalg import spd_inverse, spd_logdet
+from .nb import digamma_diff, lgamma_diff_centered, trigamma_diff
 from .padding import bucket_size, pad_rows
 
 EPSILON_ARMIJO = 1.0e-4  # cpp:175
@@ -93,9 +94,14 @@ def log_posterior(log_alpha, y, mu, x, prior_mean, prior_var, use_prior,
         cr = -0.5 * spd_logdet(b)
     else:
         cr = 0.0
-    ll_terms = (gammaln(y + inv_alpha) - gammaln(inv_alpha)
-                - y * jnp.log(mu + inv_alpha)
-                - inv_alpha * jnp.log(1.0 + mu * alpha))
+    # difference form: lgamma(y+c)-lgamma(c) - y*log(mu+c) - c*log1p(mu*a)
+    # == [lgamma(y+c)-lgamma(c)-y*log(c)] - (y+c)*log1p(mu*a); the
+    # centered first bracket stays finite-precision-stable when
+    # c = 1/alpha >> y (see ops/nb.py:lgamma_diff_centered — the f32
+    # direct form let the line search race to the min-alpha clamp)
+    l1p = jnp.log1p(mu * alpha)
+    ll_terms = (lgamma_diff_centered(y, inv_alpha)
+                - (y + inv_alpha) * l1p)
     if use_weights and weights is not None:
         ll = jnp.sum(weights * ll_terms, axis=-1)
     else:
@@ -123,9 +129,9 @@ def dlog_posterior(log_alpha, y, mu, x, prior_mean, prior_var, use_prior,
         dcr = -0.5 * jnp.einsum("gpq,gqp->g", b_inv, db)
     else:
         dcr = 0.0
-    terms = (digamma(inv_alpha) + jnp.log(1.0 + mu * alpha)
+    terms = (jnp.log1p(mu * alpha)
              - mu * alpha / (1.0 + mu * alpha)
-             - digamma(y + inv_alpha) + y / (mu + inv_alpha))
+             - digamma_diff(y, inv_alpha) + y / (mu + inv_alpha))
     if use_weights and weights is not None:
         s = jnp.sum(weights * terms, axis=-1)
     else:
@@ -157,13 +163,12 @@ def d2log_posterior(log_alpha, y, mu, x, prior_mean, prior_var, use_prior,
         cr2 = 0.5 * tr_bidb ** 2 - 0.5 * (tr_bidb ** 2 - tr_sq + tr_bid2b)
     else:
         cr2 = 0.0
-    terms1 = (digamma(inv_alpha) + jnp.log(1.0 + mu * alpha)
+    terms1 = (jnp.log1p(mu * alpha)
               - mu * alpha / (1.0 + mu * alpha)
-              - digamma(y + inv_alpha) + y / (mu + inv_alpha))
+              - digamma_diff(y, inv_alpha) + y / (mu + inv_alpha))
     inv_a2 = 1.0 / alpha ** 2
-    terms2 = (-inv_a2 * _trigamma(inv_alpha)
+    terms2 = (inv_a2 * trigamma_diff(y, inv_alpha)
               + mu ** 2 * alpha / (1.0 + mu * alpha) ** 2
-              + inv_a2 * _trigamma(y + inv_alpha)
               + inv_a2 * y / (mu + inv_alpha) ** 2)
     if use_weights and weights is not None:
         s1 = jnp.sum(weights * terms1, axis=-1)

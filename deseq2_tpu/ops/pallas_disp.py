@@ -71,6 +71,24 @@ def _lgamma_pos(z):
     return _HALF_LOG_2PI + (zm1 + 0.5) * jnp.log(t) - t + jnp.log(x)
 
 
+def _lgamma_diff_centered(y, c):
+    """lgamma(y+c) - lgamma(c) - y*log(c) with the large-c series branch
+    (elementwise VPU ops; mirror of ops/nb.py:lgamma_diff_centered).
+
+    The direct form cancels catastrophically in f32 once c >> y — the
+    exact failure that let the dispersion search race to the min-alpha
+    clamp; the 4-term series of sum_{j<y} log(1+j/c) is exact to below
+    f32 noise past the c > 16*y crossover."""
+    direct = _lgamma_pos(y + c) - _lgamma_pos(c) - y * jnp.log(c)
+    s1 = y * (y - 1.0) / 2.0
+    s2 = (y - 1.0) * y * (2.0 * y - 1.0) / 6.0
+    s3 = s1 * s1
+    s4 = s2 * (3.0 * y * y - 3.0 * y - 1.0) / 5.0
+    ci = 1.0 / c
+    series = ci * (s1 - ci * (s2 / 2.0 - ci * (s3 / 3.0 - ci * s4 / 4.0)))
+    return jnp.where(c > 16.0 * jnp.maximum(y, 1.0), series, direct)
+
+
 def _chol_logdet_cols(b_cols, p):
     """log det of (BG, p, p) SPD matrices given as p*p column slices.
 
@@ -115,8 +133,10 @@ def _grid_kernel(y_ref, mu_ref, xx_ref, grid_ref, frac_ref, pm_ref,
         scheme as ops/pallas_ls.py)."""
         alpha = jnp.exp(la)
         inv_a = 1.0 / alpha
-        # lgamma(inv_a) hoisted out of the S-sum (cpp:52-56)
-        ll = -n_valid * _lgamma_pos(inv_a)
+        # stable difference form: [lgamma(y+c)-lgamma(c)-y*log(c)]
+        # - (y+c)*log1p(mu*alpha), identical value to cpp:52-56 (the
+        # per-sample -lgamma(c) and y*log(c) regrouped exactly)
+        ll = None
         b = None
         for c in range(n_chunks):
             sl = slice(c * _LANE, (c + 1) * _LANE)
@@ -125,11 +145,11 @@ def _grid_kernel(y_ref, mu_ref, xx_ref, grid_ref, frac_ref, pm_ref,
             col = jax.lax.broadcasted_iota(jnp.int32, (BG, _LANE), 1) \
                 + c * _LANE
             fvalid = (col < s_valid.astype(jnp.int32)).astype(dtype)
-            ll = ll + jnp.sum(
-                fvalid * (_lgamma_pos(y + inv_a)
-                          - y * jnp.log(mu + inv_a)
-                          - inv_a * jnp.log1p(mu * alpha)),
+            ll_c = jnp.sum(
+                fvalid * (_lgamma_diff_centered(y, inv_a)
+                          - (y + inv_a) * jnp.log1p(mu * alpha)),
                 axis=1, keepdims=True)
+            ll = ll_c if ll is None else ll + ll_c
             if use_cr:
                 w = 1.0 / (1.0 / mu + alpha)   # padded cols: xx row is 0
                 b_c = jnp.dot(w, xx_ref[sl, :],

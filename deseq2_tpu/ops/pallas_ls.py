@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_disp import _lgamma_pos
+from .pallas_disp import _lgamma_diff_centered, _lgamma_pos
 
 __all__ = ["fit_disp_line_search_pallas", "pallas_ls_supported",
            "digamma_pos"]
@@ -79,6 +79,19 @@ def digamma_pos(z):
                         - inv2 * (1.0 / 120.0
                                   - inv2 * (1.0 / 252.0 - inv2 / 240.0))))
     return acc + series
+
+
+def _digamma_diff(y, c):
+    """digamma(y+c) - digamma(c) with the large-c series branch
+    (mirror of ops/nb.py:digamma_diff; see _lgamma_diff_centered)."""
+    direct = digamma_pos(y + c) - digamma_pos(c)
+    s1 = y * (y - 1.0) / 2.0
+    s2 = (y - 1.0) * y * (2.0 * y - 1.0) / 6.0
+    s3 = s1 * s1
+    s4 = s2 * (3.0 * y * y - 3.0 * y - 1.0) / 5.0
+    ci = 1.0 / c
+    series = ci * (y - ci * (s1 - ci * (s2 - ci * (s3 - ci * s4))))
+    return jnp.where(c > 16.0 * jnp.maximum(y, 1.0), series, direct)
 
 
 def _chol_logdet_inv(b_cols, p):
@@ -144,9 +157,11 @@ def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
         """
         alpha = jnp.exp(la)
         inv_a = 1.0 / alpha
-        # gene-constant terms hoisted from the S-sums (cpp:52-56,93-97)
-        ll = -n_valid * _lgamma_pos(inv_a)
-        s1 = n_valid * digamma_pos(inv_a)
+        # stable difference form (see ops/nb.py): identical values to
+        # cpp:52-56,93-97 with the gene-constant -lgamma(c)/+digamma(c)
+        # terms regrouped into per-sample differences — no catastrophic
+        # f32 cancellation at c = 1/alpha >> y
+        ll = s1 = None
         b = db = None
         for c in range(n_chunks):
             sl = slice(c * _LANE, (c + 1) * _LANE)
@@ -158,14 +173,16 @@ def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
             mu_inv_a = mu + inv_a
             mua = mu * alpha
             log1p_mua = jnp.log1p(mua)
-            ll = ll + jnp.sum(
-                fvalid * (_lgamma_pos(y + inv_a) - y * jnp.log(mu_inv_a)
-                          - inv_a * log1p_mua),
+            ll_c = jnp.sum(
+                fvalid * (_lgamma_diff_centered(y, inv_a)
+                          - (y + inv_a) * log1p_mua),
                 axis=1, keepdims=True)
-            s1 = s1 + jnp.sum(
+            ll = ll_c if ll is None else ll + ll_c
+            s1_c = jnp.sum(
                 fvalid * (log1p_mua - mua / (1.0 + mua)
-                          + y / mu_inv_a - digamma_pos(y + inv_a)),
+                          + y / mu_inv_a - _digamma_diff(y, inv_a)),
                 axis=1, keepdims=True)
+            s1 = s1_c if s1 is None else s1 + s1_c
             if use_cr:
                 w = 1.0 / (1.0 / mu + alpha)   # padded cols: xx row is 0
                 xx_c = xx_ref[sl, :]

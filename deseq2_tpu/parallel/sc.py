@@ -13,9 +13,26 @@ Math is identical to the bulk fused pipeline (same clamps/convergence
 rules; reference: src/DESeq2.cpp:163-465, R/core.R:657-1508) with the
 single-cell defaults minmu=1e-6 and no outlier replacement — the
 reference disables replacement for its single-cell path
-(R/core.R:297-303).  The genes axis remains embarrassingly parallel
-(shard the counts rows and run one pipeline per shard; the cross-gene
-reductions are the same trend/MAD/BH as the bulk path).
+(R/core.R:297-303).
+
+Two entry points:
+
+- `fused_sc_pipeline`: the original single-jit Wald pipeline
+  (parametric trend, normal z-test) — kept for the pure-throughput
+  Wald configuration.
+- `fused_sc_results`: the full single-cell DESeq story as a staged
+  orchestrator — fit_type="glmGamPoi" (loc_median_fit trend + QL
+  dispersion shrinkage, R/core.R:906-925, 1064-1096) with
+  test="LRT" (quasi-likelihood F-test, R/core.R:1898-1947), plus the
+  independent-filtering tail (R/results.R:638-718) and optional
+  genes-axis `mesh` sharding (the cross-gene reductions — trend, MAD,
+  filtering — run in the auto-sharded outer program exactly as the
+  bulk path's, SURVEY.md section 2.7).
+
+The per-gene streamed stages (gene-wise dispersion line search, grid
+fallback, IRLS) run under `jax.shard_map` when a mesh is supplied:
+each shard iterates until ITS genes converge and compacts stragglers
+locally, no collectives inside solver loops.
 """
 
 from __future__ import annotations
@@ -26,34 +43,21 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import digamma, erfc, gammaln, polygamma
 
+from ..ops.nb import digamma_diff, lgamma_diff_centered
 from .fused import LN2, LOG2E, _bh_adjust, _gamma_trend_fit, _masked_median
 
 DEFAULT_CHUNK = 2048
 
-__all__ = ["fused_sc_pipeline", "DEFAULT_CHUNK"]
+__all__ = ["fused_sc_pipeline", "fused_sc_results", "DEFAULT_CHUNK"]
 
 
-@partial(jax.jit, static_argnames=("n_groups", "maxit", "min_disp_pow",
-                                   "min_mu", "chunk"))
-def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
-                      maxit=100, min_disp_pow=-8, min_mu=1e-6,
-                      chunk=DEFAULT_CHUNK):
-    """counts: (G,S) int; cells: (S,) int32 group codes (0..C-1);
-    size_factors: (S,); grid: (20,) log-alpha grid; n_groups: static C.
-
-    The design matrix is the intercept + treatment-coded indicators of
-    `cells` (standard model matrix of one factor), so p = C.  Returns
-    the per-gene results dict (log2 LFC/SE/stat/p of the last level vs
-    the first, dispersions, diagnostics)."""
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    G, S = counts.shape
+def _setup(counts, cells, size_factors, n_groups, chunk, dtype):
+    """Pad to a whole number of sample chunks and build the per-chunk
+    stacked small arrays the streamed scans consume."""
     C = p = n_groups
-    min_disp = 10.0 ** min_disp_pow
-    max_disp = jnp.maximum(10.0, S).astype(dtype)
-
+    G, S = counts.shape
     sf = size_factors.astype(dtype)
     cells = cells.astype(jnp.int32)
-
     n_chunks = -(-S // chunk)
     pad = n_chunks * chunk - S
     counts_p = jnp.pad(counts, ((0, 0), (0, pad))) if pad else counts
@@ -66,222 +70,209 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
         [jnp.ones((Sp, 1), dtype),
          (cells_p[:, None] == jnp.arange(1, C, dtype=jnp.int32)[None, :]
           ).astype(dtype)], axis=1)
-    # The counts stay in their natural (G, Sp) layout — no transposed
-    # stacked copy (at 30k x 50k that copy alone is another ~6 GB of
-    # HBM).  Scans iterate over the chunk index and dynamic-slice the
-    # sample window out of the resident matrix; the small per-sample
-    # vectors are stacked per chunk as before.
     idxs = jnp.arange(n_chunks, dtype=jnp.int32)
-
-    def chunk_of(cnt, i):
-        zero = jnp.zeros((), jnp.int32)
-        return jax.lax.dynamic_slice(
-            cnt, (zero, (i * chunk).astype(jnp.int32)),
-            (cnt.shape[0], chunk))
-
-    sfs = sf_p.reshape(n_chunks, chunk)
-    cls = cells_p.reshape(n_chunks, chunk)
-    vs = valid_p.reshape(n_chunks, chunk)
     xs = x_p.reshape(n_chunks, chunk, p)
-    # precomputed per-chunk design outer products: (n_chunks, chunk, p*p)
-    xxs = (xs[..., :, None] * xs[..., None, :]).reshape(
-        n_chunks, chunk, p * p)
-    n_valid = jnp.asarray(S, dtype)
-    ridge = jnp.diag(jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype))
+    return dict(
+        counts_p=counts_p, G=G, S=S, Sp=Sp, C=C, p=p, idxs=idxs,
+        sfs=sf_p.reshape(n_chunks, chunk),
+        cls=cells_p.reshape(n_chunks, chunk),
+        vs=valid_p.reshape(n_chunks, chunk),
+        xs=xs,
+        xxs=(xs[..., :, None] * xs[..., None, :]).reshape(
+            n_chunks, chunk, p * p),
+        valid_p=valid_p, n_valid=jnp.asarray(S, dtype),
+        ridge=jnp.diag(jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)))
 
-    # ---- base stats + group means q (G,C): one streamed pass ----
-    def stats_body(carry, xc):
-        s_yn, s_yn2, s_qn, tot, n_c = carry
-        i_c, sf_c, cl_c, v_c = xc
-        y_c = chunk_of(counts_p, i_c)
-        yn = y_c.astype(dtype) / sf_c[None, :]
-        oh = (jax.nn.one_hot(cl_c, C, dtype=dtype) * v_c[:, None])
-        s_yn += yn.sum(axis=1)
-        s_yn2 += (yn * yn).sum(axis=1)
-        s_qn += jnp.dot(yn * v_c[None, :], oh,
-                        preferred_element_type=dtype)      # (G,C)
-        tot += y_c.astype(dtype).sum(axis=1)
-        n_c += oh.sum(axis=0)
-        return (s_yn, s_yn2, s_qn, tot, n_c), None
 
-    z_g = jnp.zeros(G, dtype)
-    (s_yn, s_yn2, q_num, tot, n_c), _ = jax.lax.scan(
-        stats_body, (z_g, z_g, jnp.zeros((G, C), dtype), z_g,
-                     jnp.zeros(C, dtype)), (idxs, sfs, cls, vs))
-    base_mean = s_yn / n_valid
-    base_var = (s_yn2 - n_valid * base_mean ** 2) / (n_valid - 1.0)
-    all_zero = tot == 0
-    q = q_num / n_c[None, :]              # (G,C) normalized group means
+def _chunk_of(cnt, i, chunk):
+    zero = jnp.zeros((), jnp.int32)
+    return jax.lax.dynamic_slice(
+        cnt, (zero, (i * chunk).astype(jnp.int32)), (cnt.shape[0], chunk))
 
-    xim = jnp.sum(jnp.where(valid_p > 0, 1.0 / sf_p, 0.0)) / n_valid
 
-    # ---- dispersion init (R/core.R:709-728) ----
-    q_ls = jnp.maximum(q, 1.0)
+def _smap(mesh, f, in_specs, out_specs=None):
+    """shard_map over a 1-D 'genes' mesh (identity without a mesh)."""
+    if mesh is None or mesh.devices.size <= 1:
+        return f
+    from jax.sharding import PartitionSpec
+    gP = PartitionSpec("genes")
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=gP if out_specs is None else out_specs,
+                         check_vma=False)
 
-    def rough_body(acc, xc):
-        i_c, sf_c, cl_c, v_c = xc
-        y_c = chunk_of(counts_p, i_c)
-        yn = y_c.astype(dtype) / sf_c[None, :]
-        mu_ls = q_ls[:, cl_c]
-        acc += jnp.sum(v_c[None, :] * ((yn - mu_ls) ** 2 - mu_ls)
-                       / mu_ls ** 2, axis=1)
-        return acc, None
 
-    rough_sum, _ = jax.lax.scan(rough_body, z_g, (idxs, sfs, cls, vs))
-    rough = jnp.maximum(rough_sum / (S - p), 0.0)
-    moments = (base_var - xim * base_mean) / base_mean ** 2
-    alpha_init = jnp.minimum(rough, jnp.where(all_zero, rough, moments))
-    alpha_init = jnp.clip(jnp.where(jnp.isnan(alpha_init), min_disp,
-                                    alpha_init), min_disp, max_disp)
+def _gene_spec(mesh):
+    from jax.sharding import PartitionSpec
+    return PartitionSpec("genes")
 
-    # mu for dispersion fitting: q gather * sf, clamped (linearMu fast
-    # path — exact for the group design; R/core.R:754-764)
-    q_mu = jnp.where(all_zero[:, None], 1.0, q)
 
-    def make_lp_dlp(cnt, q_, row_idx=None):
-        """Streamed fused log-posterior + derivative for a gene block
-        (cnt: (G, Sp) resident counts; q_: (g, C) clamped group means;
-        row_idx: optional (g,) compacted gene indices).  Compacted
-        blocks gather their rows per streamed chunk — gathering from
-        the whole (G, Sp) matrix at 30k x 50k makes XLA materialize
-        half-matrix slice temporaries (~2.8 GB each) plus a relayout
-        copy of the full counts, which OOMs a 16 GB chip."""
-        def lp_dlp(la, use_prior, pm, pv):
-            g = la.shape[0]
-            alpha = jnp.exp(la)
-            inv_a = 1.0 / alpha
+# ---------------------------------------------------------------------------
+# per-gene streamed solvers (shard-local building blocks)
+# ---------------------------------------------------------------------------
 
-            def body(carry, xc):
-                ll, s1, b, db = carry
-                i_c, sf_c, cl_c, v_c, xx_c = xc
-                y_blk = chunk_of(cnt, i_c)
-                if row_idx is not None:
-                    y_blk = jnp.take(y_blk, row_idx, axis=0)
-                y_f = y_blk.astype(dtype)
-                mu = jnp.maximum(q_[:, cl_c] * sf_c[None, :], min_mu)
-                mu = jnp.where(v_c[None, :] > 0, mu, 1.0)
-                mu_inv_a = mu + inv_a[:, None]
-                mua = mu * alpha[:, None]
-                l1p = jnp.log1p(mua)
-                ll += jnp.sum(v_c[None, :] * (
-                    gammaln(y_f + inv_a[:, None]) - y_f * jnp.log(mu_inv_a)
-                    - inv_a[:, None] * l1p), axis=1)
-                s1 += jnp.sum(v_c[None, :] * (
-                    l1p - mua / (1.0 + mua) + y_f / mu_inv_a
-                    - digamma(y_f + inv_a[:, None])), axis=1)
-                w = v_c[None, :] / (1.0 / mu + alpha[:, None])
-                b += jnp.dot(w, xx_c, preferred_element_type=dtype)
-                db += jnp.dot(-w * w, xx_c, preferred_element_type=dtype)
-                return (ll, s1, b, db), None
+def _make_lp_dlp(env, cnt, q_, min_mu, dtype, row_idx=None):
+    """Streamed fused log-posterior + derivative for a gene block
+    (cnt: (G, Sp) resident counts; q_: (g, C) clamped group means;
+    row_idx: optional (g,) compacted gene indices).  Compacted
+    blocks gather their rows per streamed chunk — gathering from
+    the whole (G, Sp) matrix at 30k x 50k makes XLA materialize
+    half-matrix slice temporaries (~2.8 GB each) plus a relayout
+    copy of the full counts, which OOMs a 16 GB chip."""
+    p, chunk = env["p"], env["sfs"].shape[1]
+    n_valid = env["n_valid"]
 
-            z_pp = jnp.zeros((g, p * p), dtype)
-            (ll, s1, b, db), _ = jax.lax.scan(
-                body, (-n_valid * gammaln(inv_a),
-                       n_valid * digamma(inv_a), z_pp, z_pp),
-                (idxs, sfs, cls, vs, xxs))
-            bm = b.reshape(g, p, p)
-            _, logdet = jnp.linalg.slogdet(bm)
-            binv = jnp.linalg.inv(bm)
-            tr = jnp.einsum("gij,gji->g", binv, db.reshape(g, p, p))
-            lp = ll - 0.5 * logdet
-            dlp = (s1 / (alpha * alpha) - 0.5 * tr) * alpha
-            if use_prior:
-                lp = lp - 0.5 * (la - pm) ** 2 / pv
-                dlp = dlp - (la - pm) / pv
-            return lp, dlp
+    def lp_dlp(la, use_prior, pm, pv):
+        g = la.shape[0]
+        alpha = jnp.exp(la)
+        inv_a = 1.0 / alpha
 
-        return lp_dlp
+        def body(carry, xc):
+            ll, s1, b, db = carry
+            i_c, sf_c, cl_c, v_c, xx_c = xc
+            y_blk = _chunk_of(cnt, i_c, chunk)
+            if row_idx is not None:
+                y_blk = jnp.take(y_blk, row_idx, axis=0)
+            y_f = y_blk.astype(dtype)
+            mu = jnp.maximum(q_[:, cl_c] * sf_c[None, :], min_mu)
+            mu = jnp.where(v_c[None, :] > 0, mu, 1.0)
+            mu_inv_a = mu + inv_a[:, None]
+            mua = mu * alpha[:, None]
+            l1p = jnp.log1p(mua)
+            # stable difference form (see ops/nb.py:lgamma_diff_centered
+            # and ops/disp.py:log_posterior): identical values, no f32
+            # catastrophic cancellation at 1/alpha >> y
+            ll += jnp.sum(v_c[None, :] * (
+                lgamma_diff_centered(y_f, inv_a[:, None])
+                - (y_f + inv_a[:, None]) * l1p), axis=1)
+            s1 += jnp.sum(v_c[None, :] * (
+                l1p - mua / (1.0 + mua) + y_f / mu_inv_a
+                - digamma_diff(y_f, inv_a[:, None])), axis=1)
+            w = v_c[None, :] / (1.0 / mu + alpha[:, None])
+            b += jnp.dot(w, xx_c, preferred_element_type=dtype)
+            db += jnp.dot(-w * w, xx_c, preferred_element_type=dtype)
+            return (ll, s1, b, db), None
 
-    def line_search(la0, use_prior, pm, pv):
-        """Armijo backtracking ascent (cpp:163-277), streamed, with
-        straggler compaction: once the live set fits G//8, gather those
-        genes' count rows and finish on the compacted block — tail
-        iterations then cost cap/G of a full HBM sweep."""
-        lp_dlp = make_lp_dlp(counts_p, q_mu)
-        lp0, dlp0 = lp_dlp(la0, use_prior, pm, pv)
-        eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-        tol = jnp.maximum(1e-6, jnp.abs(lp0) * 50.0 * eps)
-        min_la = jnp.log(jnp.asarray(min_disp / 10.0, dtype))
-        state = (jnp.asarray(0, jnp.int32), la0, jnp.ones_like(la0),
-                 lp0, dlp0, jnp.zeros(G, jnp.int32),
-                 jnp.zeros(G, jnp.int32), jnp.zeros(G, dtype),
-                 jnp.asarray(tol, dtype) * jnp.ones(G, dtype)
-                 if jnp.ndim(tol) == 0 else tol)
+        z_pp = jnp.zeros((g, p * p), dtype)
+        z_gv = jnp.zeros(g, dtype)
+        (ll, s1, b, db), _ = jax.lax.scan(
+            body, (z_gv, z_gv, z_pp, z_pp),
+            (env["idxs"], env["sfs"], env["cls"], env["vs"], env["xxs"]))
+        bm = b.reshape(g, p, p)
+        _, logdet = jnp.linalg.slogdet(bm)
+        binv = jnp.linalg.inv(bm)
+        tr = jnp.einsum("gij,gji->g", binv, db.reshape(g, p, p))
+        lp = ll - 0.5 * logdet
+        dlp = (s1 / (alpha * alpha) - 0.5 * tr) * alpha
+        if use_prior:
+            lp = lp - 0.5 * (la - pm) ** 2 / pv
+            dlp = dlp - (la - pm) / pv
+        return lp, dlp
 
-        def make_body(lp_dlp_, pm_, pv_):
-            def body(s):
-                t, a, kappa, lp, dlp, iters, iacc, donef, tol_ = s
-                done = donef > 0.5
-                live = ~done
-                iters = iters + live.astype(jnp.int32)
-                a_pr = a + kappa * dlp
-                kappa = jnp.where(a_pr < -30.0, (-30.0 - a) / dlp, kappa)
-                kappa = jnp.where(a_pr > 10.0, (10.0 - a) / dlp, kappa)
-                a_new = a + kappa * dlp
-                lp_new, dlp_next = lp_dlp_(a_new, use_prior, pm_, pv_)
-                accept = -lp_new <= -lp - kappa * 1e-4 * dlp * dlp
-                upd = live & accept
-                iacc = iacc + upd.astype(jnp.int32)
-                change = lp_new - lp
-                conv = change < tol_
-                under = a_new < min_la
-                a = jnp.where(upd, a_new, a)
-                lp = jnp.where(upd & (conv | ~under), lp_new, lp)
-                if jnp.finfo(dtype).eps > 1e-10:
-                    stalled = live & ~accept & (kappa * dlp * dlp < tol_)
-                else:
-                    stalled = jnp.zeros_like(live)
-                newly = (upd & (conv | under)) | stalled
-                cont = upd & ~conv & ~under
-                dlp = jnp.where(cont, dlp_next, dlp)
-                kap = jnp.minimum(kappa * 1.1, 1.0)
-                kap = jnp.where(iacc % 5 == 0, kap / 2.0, kap)
-                kappa = jnp.where(cont, kap,
-                                  jnp.where(live & ~accept, kappa / 2.0,
-                                            kappa))
-                donef = jnp.maximum(donef, newly.astype(dtype))
-                return (t + 1, a, kappa, lp, dlp, iters, iacc, donef,
-                        tol_)
+    return lp_dlp
 
-            return body
 
-        from ..ops.padding import compact_live_indices
-        cap = min(1 << (max(G // 8, 512) - 1).bit_length(), G)
-        body_full = make_body(lp_dlp, pm, pv)
-        if cap * 2 >= G:
-            s = jax.lax.while_loop(
-                lambda s: (s[0] < maxit) & (jnp.max(1.0 - s[7]) > 0.5),
-                body_full, state)
-        else:
-            s = jax.lax.while_loop(
-                lambda s: (s[0] < maxit) &
-                (jnp.sum(1.0 - s[7]) > cap), body_full, state)
-            live = s[7] < 0.5
-            idx = compact_live_indices(live, cap)
-            q_c = q_mu[idx]
-            pm_c = pm[idx] if jnp.ndim(pm) else pm
-            sub = (s[0],) + tuple(v[idx] for v in s[1:])
-            body_sub = make_body(make_lp_dlp(counts_p, q_c, idx), pm_c, pv)
-            sub = jax.lax.while_loop(
-                lambda s_: (s_[0] < maxit) &
-                (jnp.max(1.0 - s_[7]) > 0.5), body_sub, sub)
-            s = (sub[0],) + tuple(
-                full.at[idx].set(part)
-                for full, part in zip(s[1:], sub[1:]))
-        return dict(log_alpha=s[1], last_lp=s[3], initial_lp=lp0,
-                    iter=s[5])
+def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
+                 min_mu, dtype):
+    """Armijo backtracking ascent (cpp:163-277), streamed, with
+    straggler compaction: once the live set fits G//8, gather those
+    genes' count rows and finish on the compacted block — tail
+    iterations then cost cap/G of a full HBM sweep."""
+    G = env["counts_p"].shape[0]
+    counts_p = env["counts_p"]
+    lp_dlp = _make_lp_dlp(env, counts_p, q_mu, min_mu, dtype)
+    lp0, dlp0 = lp_dlp(la0, use_prior, pm, pv)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    tol = jnp.maximum(1e-6, jnp.abs(lp0) * 50.0 * eps)
+    min_la = jnp.log(jnp.asarray(min_disp / 10.0, dtype))
+    state = (jnp.asarray(0, jnp.int32), la0, jnp.ones_like(la0),
+             lp0, dlp0, jnp.zeros(G, jnp.int32),
+             jnp.zeros(G, jnp.int32), jnp.zeros(G, dtype),
+             jnp.asarray(tol, dtype) * jnp.ones(G, dtype)
+             if jnp.ndim(tol) == 0 else tol)
 
-    def grid_search_subset(idx, pm, pv, use_prior):
-        """Two-stage grid search (cpp:468-513) on a compacted gene
-        subset (idx: (cap,) gene indices)."""
-        lp_dlp = make_lp_dlp(counts_p, q_mu[idx], idx)
-        g = idx.shape[0]
+    def make_body(lp_dlp_, pm_, pv_):
+        def body(s):
+            t, a, kappa, lp, dlp, iters, iacc, donef, tol_ = s
+            done = donef > 0.5
+            live = ~done
+            iters = iters + live.astype(jnp.int32)
+            a_pr = a + kappa * dlp
+            kappa = jnp.where(a_pr < -30.0, (-30.0 - a) / dlp, kappa)
+            kappa = jnp.where(a_pr > 10.0, (10.0 - a) / dlp, kappa)
+            a_new = a + kappa * dlp
+            lp_new, dlp_next = lp_dlp_(a_new, use_prior, pm_, pv_)
+            accept = -lp_new <= -lp - kappa * 1e-4 * dlp * dlp
+            upd = live & accept
+            iacc = iacc + upd.astype(jnp.int32)
+            change = lp_new - lp
+            conv = change < tol_
+            under = a_new < min_la
+            a = jnp.where(upd, a_new, a)
+            lp = jnp.where(upd & (conv | ~under), lp_new, lp)
+            if jnp.finfo(dtype).eps > 1e-10:
+                stalled = live & ~accept & (kappa * dlp * dlp < tol_)
+            else:
+                stalled = jnp.zeros_like(live)
+            newly = (upd & (conv | under)) | stalled
+            cont = upd & ~conv & ~under
+            dlp = jnp.where(cont, dlp_next, dlp)
+            kap = jnp.minimum(kappa * 1.1, 1.0)
+            kap = jnp.where(iacc % 5 == 0, kap / 2.0, kap)
+            kappa = jnp.where(cont, kap,
+                              jnp.where(live & ~accept, kappa / 2.0,
+                                        kappa))
+            donef = jnp.maximum(donef, newly.astype(dtype))
+            return (t + 1, a, kappa, lp, dlp, iters, iacc, donef,
+                    tol_)
+
+        return body
+
+    from ..ops.padding import compact_live_indices
+    cap = min(1 << (max(G // 8, 512) - 1).bit_length(), G)
+    body_full = make_body(lp_dlp, pm, pv)
+    if cap * 2 >= G:
+        s = jax.lax.while_loop(
+            lambda s: (s[0] < maxit) & (jnp.max(1.0 - s[7]) > 0.5),
+            body_full, state)
+    else:
+        s = jax.lax.while_loop(
+            lambda s: (s[0] < maxit) &
+            (jnp.sum(1.0 - s[7]) > cap), body_full, state)
+        live = s[7] < 0.5
+        idx = compact_live_indices(live, cap)
+        q_c = q_mu[idx]
         pm_c = pm[idx] if jnp.ndim(pm) else pm
+        sub = (s[0],) + tuple(v[idx] for v in s[1:])
+        body_sub = make_body(
+            _make_lp_dlp(env, counts_p, q_c, min_mu, dtype, idx), pm_c, pv)
+        sub = jax.lax.while_loop(
+            lambda s_: (s_[0] < maxit) &
+            (jnp.max(1.0 - s_[7]) > 0.5), body_sub, sub)
+        s = (sub[0],) + tuple(
+            full.at[idx].set(part)
+            for full, part in zip(s[1:], sub[1:]))
+    return dict(log_alpha=s[1], last_lp=s[3], initial_lp=lp0,
+                iter=s[5])
+
+
+def _grid_fallback(env, q_mu, grid, disp_cur, need, pm, pv, use_prior,
+                   min_mu, dtype):
+    """Two-stage grid search (cpp:468-513) on the `need` genes only
+    (compacted)."""
+    from ..ops.padding import compact_live_indices
+    G = env["counts_p"].shape[0]
+    cap = min(1 << (max(G // 16, 256) - 1).bit_length(), G)
+
+    def grid_search_subset(idx, pm_, pv_):
+        lp_dlp = _make_lp_dlp(env, env["counts_p"], q_mu[idx], min_mu,
+                              dtype, idx)
+        g = idx.shape[0]
+        pm_c = pm_[idx] if jnp.ndim(pm_) else pm_
 
         def argmax_over(points):
             def body(carry, la_j):
                 best_lp, best_a = carry
-                lp, _ = lp_dlp(la_j, use_prior, pm_c, pv)
+                lp, _ = lp_dlp(la_j, use_prior, pm_c, pv_)
                 better = lp > best_lp
                 return (jnp.where(better, lp, best_lp),
                         jnp.where(better, la_j, best_a)), None
@@ -298,178 +289,630 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
         fine = a_hat[None, :] - delta + 2.0 * delta * frac[:, None]
         return argmax_over(fine)
 
-    def grid_fallback(disp_cur, need, pm, pv, use_prior):
-        """Run the grid only on the `need` genes (compacted)."""
-        from ..ops.padding import compact_live_indices
-        cap = min(1 << (max(G // 16, 256) - 1).bit_length(), G)
+    def run(_):
+        idx = compact_live_indices(need, cap)
+        la = grid_search_subset(idx, pm, pv)
+        new = jnp.where(need[idx], jnp.exp(la), disp_cur[idx])
+        return disp_cur.at[idx].set(new)
 
-        def run(_):
-            idx = compact_live_indices(need, cap)
-            la = grid_search_subset(idx, pm, pv, use_prior)
-            new = jnp.where(need[idx], jnp.exp(la), disp_cur[idx])
-            return disp_cur.at[idx].set(new)
+    # over-capacity overflow: two passes cover 2*cap genes; beyond
+    # that (pathological) the remainder keeps the line-search value
+    def run2(_):
+        d1 = run(None)
+        still = need & (d1 == disp_cur)
+        idx = compact_live_indices(still, cap)
+        la = grid_search_subset(idx, pm, pv)
+        new = jnp.where(still[idx], jnp.exp(la), d1[idx])
+        return d1.at[idx].set(new)
 
-        # over-capacity overflow: two passes cover 2*cap genes; beyond
-        # that (pathological) the remainder keeps the line-search value
-        def run2(_):
-            d1 = run(None)
-            still = need & (d1 == disp_cur)
-            idx = compact_live_indices(still, cap)
-            la = grid_search_subset(idx, pm, pv, use_prior)
-            new = jnp.where(still[idx], jnp.exp(la), d1[idx])
-            return d1.at[idx].set(new)
+    n = jnp.sum(need)
+    return jax.lax.cond(
+        n == 0, lambda _: disp_cur,
+        lambda _: jax.lax.cond(n > cap, run2, run, operand=None),
+        operand=None)
 
-        n = jnp.sum(need)
-        return jax.lax.cond(
-            n == 0, lambda _: disp_cur,
-            lambda _: jax.lax.cond(n > cap, run2, run, operand=None),
-            operand=None)
 
-    # ---- gene-wise MLE (R/core.R:770-848) ----
-    la0 = jnp.log(alpha_init)
-    mle = line_search(la0, False, la0, jnp.asarray(1.0, dtype))
-    alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
-    no_inc = mle["last_lp"] < mle["initial_lp"] + \
-        jnp.abs(mle["initial_lp"]) / 1e6
-    disp_gene_est = jnp.where(no_inc, alpha_init, alpha_mle)
-    conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
-    need_grid = ~conv & (disp_gene_est > min_disp * 10)
-    disp_gene_est = grid_fallback(disp_gene_est, need_grid,
-                                  jnp.zeros(G, dtype),
-                                  jnp.asarray(1.0, dtype), False)
-    disp_gene_est = jnp.clip(disp_gene_est, min_disp, max_disp)
+# ---------------------------------------------------------------------------
+# staged jitted pipeline pieces
+# ---------------------------------------------------------------------------
 
-    # ---- trend + prior variance (cross-gene; R/core.R:864-939) ----
-    use_for_fit = (disp_gene_est > 100 * min_disp) & ~all_zero
-    coefs = _gamma_trend_fit(base_mean, disp_gene_est, use_for_fit)
-    disp_fit = coefs[0] + coefs[1] / jnp.where(all_zero, 1.0, base_mean)
+@partial(jax.jit, static_argnames=("n_groups", "maxit", "min_disp_pow",
+                                   "min_mu", "chunk", "mesh"))
+def _sc_stage1(counts, cells, size_factors, grid, n_groups, maxit=100,
+               min_disp_pow=-8, min_mu=1e-6, chunk=DEFAULT_CHUNK,
+               mesh=None):
+    """Base stats + group means + gene-wise dispersion MLE
+    (R/core.R:657-860).  Returns only (G,) / (G,C) summaries."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    G, S = counts.shape
+    p = n_groups
+    min_disp = 10.0 ** min_disp_pow
+    max_disp = jnp.maximum(10.0, S).astype(dtype)
+    env0 = _setup(counts, cells, size_factors, n_groups, chunk, dtype)
+    C = n_groups
+    xim = jnp.sum(jnp.where(env0["valid_p"] > 0,
+                            1.0 / env0["sfs"].reshape(-1), 0.0)) \
+        / env0["n_valid"]
+
+    def per_gene(counts_p):
+        env = dict(env0, counts_p=counts_p)
+        n_valid = env["n_valid"]
+        g_loc = counts_p.shape[0]
+        z_g = jnp.zeros(g_loc, dtype)
+
+        # ---- base stats + group means q (g,C): one streamed pass ----
+        def stats_body(carry, xc):
+            s_yn, s_yn2, s_qn, tot, n_c, s_lq = carry
+            i_c, sf_c, cl_c, v_c = xc
+            y_c = _chunk_of(counts_p, i_c, chunk)
+            yn = y_c.astype(dtype) / sf_c[None, :]
+            oh = (jax.nn.one_hot(cl_c, C, dtype=dtype) * v_c[:, None])
+            s_yn += yn.sum(axis=1)
+            s_yn2 += (yn * yn).sum(axis=1)
+            s_qn += jnp.dot(yn * v_c[None, :], oh,
+                            preferred_element_type=dtype)      # (g,C)
+            tot += y_c.astype(dtype).sum(axis=1)
+            n_c += oh.sum(axis=0)
+            s_lq += jnp.dot(jnp.log(yn + 0.1), oh,
+                            preferred_element_type=dtype)
+            return (s_yn, s_yn2, s_qn, tot, n_c, s_lq), None
+
+        (s_yn, s_yn2, q_num, tot, n_c, s_lq), _ = jax.lax.scan(
+            stats_body, (z_g, z_g, jnp.zeros((g_loc, C), dtype), z_g,
+                         jnp.zeros(C, dtype), jnp.zeros((g_loc, C), dtype)),
+            (env["idxs"], env["sfs"], env["cls"], env["vs"]))
+        base_mean = s_yn / n_valid
+        base_var = (s_yn2 - n_valid * base_mean ** 2) / (n_valid - 1.0)
+        all_zero = tot == 0
+        q = q_num / n_c[None, :]          # (g,C) normalized group means
+        logq = s_lq / n_c[None, :]        # group means of log(yn + 0.1)
+
+        # ---- dispersion init (R/core.R:709-728) ----
+        q_ls = jnp.maximum(q, 1.0)
+
+        def rough_body(acc, xc):
+            i_c, sf_c, cl_c, v_c = xc
+            y_c = _chunk_of(counts_p, i_c, chunk)
+            yn = y_c.astype(dtype) / sf_c[None, :]
+            mu_ls = q_ls[:, cl_c]
+            acc += jnp.sum(v_c[None, :] * ((yn - mu_ls) ** 2 - mu_ls)
+                           / mu_ls ** 2, axis=1)
+            return acc, None
+
+        rough_sum, _ = jax.lax.scan(
+            rough_body, z_g,
+            (env["idxs"], env["sfs"], env["cls"], env["vs"]))
+        rough = jnp.maximum(rough_sum / (S - p), 0.0)
+        moments = (base_var - xim * base_mean) / base_mean ** 2
+        alpha_init = jnp.minimum(rough,
+                                 jnp.where(all_zero, rough, moments))
+        alpha_init = jnp.clip(jnp.where(jnp.isnan(alpha_init), min_disp,
+                                        alpha_init), min_disp, max_disp)
+
+        # mu for dispersion fitting: q gather * sf, clamped (linearMu
+        # fast path — exact for the group design; R/core.R:754-764)
+        q_mu = jnp.where(all_zero[:, None], 1.0, q)
+
+        la0 = jnp.log(alpha_init)
+        mle = _line_search(env, q_mu, la0, False, la0,
+                           jnp.asarray(1.0, dtype), maxit, min_disp,
+                           min_mu, dtype)
+        alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
+        no_inc = mle["last_lp"] < mle["initial_lp"] + \
+            jnp.abs(mle["initial_lp"]) / 1e6
+        dge = jnp.where(no_inc, alpha_init, alpha_mle)
+        conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
+        need_grid = ~conv & (dge > min_disp * 10)
+        dge = _grid_fallback(env, q_mu, grid, dge, need_grid,
+                             jnp.zeros(g_loc, dtype),
+                             jnp.asarray(1.0, dtype), False, min_mu,
+                             dtype)
+        dge = jnp.clip(dge, min_disp, max_disp)
+        return dict(base_mean=base_mean, base_var=base_var,
+                    all_zero=all_zero, disp_gene_est=dge, q=q, logq=logq)
+
+    if mesh is not None and mesh.devices.size > 1:
+        gP = _gene_spec(mesh)
+        out = _smap(mesh, per_gene, (gP,),
+                    dict(base_mean=gP, base_var=gP, all_zero=gP,
+                         disp_gene_est=gP, q=gP, logq=gP))(
+            env0["counts_p"])
+    else:
+        out = per_gene(env0["counts_p"])
+    return out
+
+
+@partial(jax.jit, static_argnames=("n_groups", "maxit", "min_disp_pow",
+                                   "min_mu", "chunk", "mesh"))
+def _sc_stage_map(counts, cells, size_factors, grid, q, all_zero,
+                  disp_gene_est, disp_fit, disp_prior_var, n_groups,
+                  maxit=100, min_disp_pow=-8, min_mu=1e-6,
+                  chunk=DEFAULT_CHUNK, mesh=None):
+    """DESeq2-type MAP shrinkage line search with the log-normal prior
+    (R/core.R:1016-1063)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    G, S = counts.shape
+    min_disp = 10.0 ** min_disp_pow
+    max_disp = jnp.maximum(10.0, S).astype(dtype)
+    env0 = _setup(counts, cells, size_factors, n_groups, chunk, dtype)
+
+    def per_gene(counts_p, q_l, all_zero_l, dge_l, fit_l):
+        env = dict(env0, counts_p=counts_p)
+        g_loc = counts_p.shape[0]
+        q_mu = jnp.where(all_zero_l[:, None], 1.0, q_l)
+        disp_init = jnp.where(dge_l > 0.1 * fit_l, dge_l, fit_l)
+        pm = jnp.log(fit_l)
+        map_res = _line_search(env, q_mu, jnp.log(disp_init), True, pm,
+                               disp_prior_var, maxit, min_disp, min_mu,
+                               dtype)
+        disp_map = jnp.exp(map_res["log_alpha"])
+        need_map = map_res["iter"] >= maxit
+        disp_map = _grid_fallback(env, q_mu, grid, disp_map, need_map,
+                                  pm, disp_prior_var, True, min_mu, dtype)
+        return jnp.clip(disp_map, min_disp, max_disp)
+
+    if mesh is not None and mesh.devices.size > 1:
+        gP = _gene_spec(mesh)
+        return _smap(mesh, per_gene, (gP, gP, gP, gP, gP))(
+            env0["counts_p"], q, all_zero, disp_gene_est, disp_fit)
+    return per_gene(env0["counts_p"], q, all_zero, disp_gene_est,
+                    disp_fit)
+
+
+@partial(jax.jit, static_argnames=("n_groups", "maxit", "min_disp_pow",
+                                   "min_mu", "chunk", "mesh",
+                                   "with_reduced", "with_loglik"))
+def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
+                  base_mean, n_groups, maxit=100, min_disp_pow=-8,
+                  min_mu=1e-6, chunk=DEFAULT_CHUNK, mesh=None,
+                  with_reduced=False, with_loglik=False):
+    """Streamed ridge IRLS + sandwich SEs (cpp:282-465, R/core.R:1400-
+    1508); optionally the intercept-only reduced model's closed form
+    and the R-recomputed (unclamped-mu) log-likelihoods for LRT/QL
+    (R/fitNbinomGLMs.R:99-137,180)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    G, S = counts.shape
+    p = n_groups
+    env0 = _setup(counts, cells, size_factors, n_groups, chunk, dtype)
+
+    def per_gene(counts_p, logq_l, all_zero_l, alpha_l, base_mean_l):
+        env = dict(env0, counts_p=counts_p)
+        g_loc = counts_p.shape[0]
+        z_g = jnp.zeros(g_loc, dtype)
+        n_valid = env["n_valid"]
+        ridge = env["ridge"]
+
+        beta0 = jnp.concatenate(
+            [logq_l[:, :1], logq_l[:, 1:] - logq_l[:, :1]], axis=1)
+        y_alpha = jnp.where(all_zero_l, 1.0, alpha_l)
+        size = 1.0 / y_alpha
+
+        def dev_const_body(acc, xc):
+            i_c, v_c = xc
+            y_f = _chunk_of(counts_p, i_c, chunk).astype(dtype)
+            acc += jnp.sum(v_c[None, :] * (gammaln(y_f + size[:, None])
+                                           - gammaln(y_f + 1.0)), axis=1)
+            return acc, None
+
+        dc, _ = jax.lax.scan(dev_const_body, z_g,
+                             (env["idxs"], env["vs"]))
+        dev_const = -2.0 * (dc + n_valid * (size * jnp.log(size)
+                                            - gammaln(size)))
+
+        def irls_pass(beta):
+            """One streamed sweep: X'WX (g,p,p), X'Wz (g,p), deviance."""
+            def body(carry, xc):
+                A, r, dev = carry
+                i_c, sf_c, v_c, x_c, xx_c = xc
+                y_f = _chunk_of(counts_p, i_c, chunk).astype(dtype)
+                mu = jnp.maximum(sf_c[None, :] * jnp.exp(beta @ x_c.T),
+                                 min_mu)
+                w = v_c[None, :] * mu / (1.0 + y_alpha[:, None] * mu)
+                z = jnp.log(mu / sf_c[None, :]) + (y_f - mu) / mu
+                A += jnp.dot(w, xx_c, preferred_element_type=dtype)
+                r += jnp.dot(w * z, x_c, preferred_element_type=dtype)
+                t = jnp.where(y_f > 0.0,
+                              y_f * (jnp.log(mu)
+                                     - jnp.log(size[:, None] + mu)), 0.0)
+                dev += -2.0 * jnp.sum(v_c[None, :] * (
+                    -size[:, None] * jnp.log(size[:, None] + mu) + t),
+                    axis=1)
+                return (A, r, dev), None
+
+            (A, r, dev), _ = jax.lax.scan(
+                body, (jnp.zeros((g_loc, p * p), dtype),
+                       jnp.zeros((g_loc, p), dtype), z_g),
+                (env["idxs"], env["sfs"], env["vs"], env["xs"],
+                 env["xxs"]))
+            return A.reshape(g_loc, p, p), r, dev_const + dev
+
+        eps = jnp.finfo(dtype).eps
+        beta_tol = jnp.maximum(1e-8, 30.0 * eps)
+
+        def irls_cond(s):
+            return (s[0] < maxit) & (jnp.max(s[5]) > 0.5)
+
+        def irls_body(s):
+            t, beta, dev_old, iters, dev, activef = s
+            active = activef > 0.5
+            iters = iters + active.astype(jnp.int32)
+            A, r, _ = irls_pass(beta)
+            beta_new = jnp.linalg.solve(A + ridge[None],
+                                        r[..., None])[..., 0]
+            diverged = jnp.max(jnp.abs(beta_new), axis=1) > 30.0
+            beta_out = jnp.where(active[:, None], beta_new, beta)
+            cont = active & ~diverged
+            _, _, dev_new = irls_pass(beta_new)
+            dev = jnp.where(cont, dev_new, dev)
+            ct = jnp.abs(dev_new - dev_old) / (jnp.abs(dev_new) + 0.1)
+            bad = jnp.isnan(ct)
+            convd = (t > 0) & (ct < beta_tol)
+            if eps > 1e-10:  # f32-only beta-stall exit (ops/irls.py rule)
+                dbeta = jnp.max(jnp.abs(beta_new - beta), axis=1)
+                bmax = jnp.max(jnp.abs(beta_new), axis=1)
+                convd = convd | ((t > 0) &
+                                 (dbeta < 32.0 * eps * (1.0 + bmax)))
+            iters = jnp.where(active & (diverged | (bad & ~diverged)),
+                              maxit, iters)
+            activef = (cont & ~bad & ~convd).astype(dtype)
+            dev_old = jnp.where(cont, dev_new, dev_old)
+            return (t + 1, beta_out, dev_old, iters, dev, activef)
+
+        state = (jnp.asarray(0, jnp.int32), beta0, z_g,
+                 jnp.zeros(g_loc, jnp.int32), z_g, jnp.ones(g_loc, dtype))
+        _, beta, _, beta_iter, deviance, _ = jax.lax.while_loop(
+            irls_cond, irls_body, state)
+
+        # post-fit sigma sandwich diagonal (cpp:429-455)
+        A, _, _ = irls_pass(beta)
+        Ainv = jnp.linalg.inv(A + ridge[None])
+        sigma = Ainv @ A @ Ainv
+        beta_var = jnp.diagonal(sigma, axis1=1, axis2=2)
+
+        out = dict(beta=beta, beta_var=beta_var, beta_iter=beta_iter,
+                   deviance=deviance)
+
+        if with_loglik or with_reduced:
+            # R-recomputed log-likelihoods at the UNclamped mu
+            # (nbinomLogLike, R/core.R:2208-2230); gathered per gene in
+            # one streamed pass (mu_reduced = baseMean*sf is the
+            # intercept closed form, R/fitNbinomGLMs.R:99-137)
+            inv_a = size
+
+            def ll_body(acc, xc):
+                ll_f, ll_r = acc
+                i_c, sf_c, cl_c, v_c, x_c = xc
+                y_f = _chunk_of(counts_p, i_c, chunk).astype(dtype)
+                com = gammaln(y_f + inv_a[:, None]) - gammaln(y_f + 1.0)
+
+                def row_ll(mu):
+                    t = jnp.where(y_f > 0.0,
+                                  y_f * jnp.log(mu / (inv_a[:, None] + mu)),
+                                  0.0)
+                    return jnp.sum(v_c[None, :] * (
+                        com + inv_a[:, None] *
+                        jnp.log(inv_a[:, None] / (inv_a[:, None] + mu))
+                        + t), axis=1)
+
+                mu_f = sf_c[None, :] * jnp.exp(beta @ x_c.T)
+                mu_f = jnp.where(v_c[None, :] > 0, mu_f, 1.0)
+                ll_f += row_ll(mu_f)
+                if with_reduced:
+                    mu_r = base_mean_l[:, None] * sf_c[None, :]
+                    mu_r = jnp.where(v_c[None, :] > 0,
+                                     jnp.where(all_zero_l[:, None], 1.0,
+                                               mu_r), 1.0)
+                    ll_r += row_ll(mu_r)
+                return (ll_f, ll_r), None
+
+            # the -gammaln(size) term is shared by every valid sample
+            ll0 = -n_valid * gammaln(inv_a)
+            (ll_full, ll_red), _ = jax.lax.scan(
+                ll_body, (ll0, ll0),
+                (env["idxs"], env["sfs"], env["cls"], env["vs"],
+                 env["xs"]))
+            out["ll_full"] = ll_full
+            if with_reduced:
+                out["ll_reduced"] = ll_red
+        return out
+
+    if mesh is not None and mesh.devices.size > 1:
+        gP = _gene_spec(mesh)
+        return _smap(mesh, per_gene, (gP, gP, gP, gP, gP))(
+            env0["counts_p"], logq, all_zero, dispersion, base_mean)
+    return per_gene(env0["counts_p"], logq, all_zero, dispersion,
+                    base_mean)
+
+
+# ---------------------------------------------------------------------------
+# orchestrators
+# ---------------------------------------------------------------------------
+
+def _sc_trend_and_prior(base_mean, disp_gene_est, all_zero, S, p, min_disp,
+                        fit_type):
+    """Cross-gene trend + dispersion prior pieces.  parametric: gamma
+    GLM on device (R/core.R:2166-2189).  glmGamPoi: loc_median_fit with
+    closest-index prediction on host (R/core.R:906-925) — G scalars.
+    Returns (disp_fit (G,) device, coefs or None, var_log_disp,
+    disp_prior_var)."""
+    import numpy as np
+    dtype = base_mean.dtype
+
+    if fit_type == "parametric":
+        use = (disp_gene_est > 100 * min_disp) & ~all_zero
+        coefs = jax.jit(_gamma_trend_fit)(base_mean, disp_gene_est, use)
+        disp_fit = coefs[0] + coefs[1] / jnp.where(all_zero, 1.0,
+                                                   base_mean)
+    elif fit_type == "glmGamPoi":
+        from ..gampoi import loc_median_fit, make_closest_index_disp_fn
+        bm = np.asarray(base_mean, np.float64)
+        dge = np.asarray(disp_gene_est, np.float64)
+        az = np.asarray(all_zero, bool)
+        use = (dge > 100 * min_disp) & ~az
+        medians = loc_median_fit(bm[use], dge[use])
+        fn = make_closest_index_disp_fn(bm[use], medians)
+        fit = np.ones_like(bm)
+        fit[~az] = fn(bm[~az])
+        coefs = None
+        disp_fit = jnp.asarray(fit, dtype)
+    else:
+        raise ValueError("fused_sc_results supports fit_type='parametric' "
+                         "or 'glmGamPoi'")
+
     resid = jnp.log(disp_gene_est) - jnp.log(disp_fit)
     med = _masked_median(resid, ~all_zero)
     var_log_disp = (1.4826 * _masked_median(jnp.abs(resid - med),
                                             ~all_zero)) ** 2
     exp_var = polygamma(1, (S - p) / 2.0).astype(dtype)
     disp_prior_var = jnp.maximum(var_log_disp - exp_var, 0.25)
+    return disp_fit, coefs, var_log_disp, disp_prior_var
 
-    # ---- MAP shrinkage (R/core.R:1016-1115) ----
-    disp_init = jnp.where(disp_gene_est > 0.1 * disp_fit, disp_gene_est,
-                          disp_fit)
-    pm = jnp.log(disp_fit)
-    map_res = line_search(jnp.log(disp_init), True, pm, disp_prior_var)
-    disp_map = jnp.exp(map_res["log_alpha"])
-    need_map = map_res["iter"] >= maxit
-    disp_map = grid_fallback(disp_map, need_map, pm, disp_prior_var, True)
-    disp_map = jnp.clip(disp_map, min_disp, max_disp)
-    disp_outlier = jnp.log(disp_gene_est) > pm + \
+
+def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
+                     maxit=100, min_disp_pow=-8, min_mu=1e-6,
+                     chunk=DEFAULT_CHUNK, test="Wald",
+                     fit_type="parametric", alpha=0.1,
+                     independent_filtering=True, mesh=None, quiet=True):
+    """Full single-cell-scale DESeq results: staged streamed pipeline.
+
+    - fit_type="glmGamPoi": loc_median_fit dispersion trend
+      (R/core.R:906-925) + quasi-likelihood dispersion shrinkage
+      (overdispersion_shrinkage contract, R/core.R:1064-1096); with
+      test="LRT" the quasi-likelihood F-test (glm_gp/test_de contract,
+      R/core.R:1898-1947) against the intercept-only reduced model,
+      with betas fit at the *trend* dispersions.
+    - fit_type="parametric": the bulk pipeline's gamma trend + MAP
+      line-search shrinkage; test="Wald" (z) or "LRT" (chi-square
+      against ~1).
+    - the tail runs Cook's-free (the reference disables outlier
+      replacement for single cell, R/core.R:297-303) independent
+      filtering + BH (R/results.R:638-718).
+    - `mesh`: optional 1-D 'genes' device mesh; the streamed per-gene
+      stages run under shard_map, cross-gene reductions auto-shard.
+
+    Returns a dict of host numpy columns (results table + diagnostics).
+    """
+    import numpy as np
+    from ..results import choose_filter_theta
+
+    G, S = counts.shape
+    p = n_groups
+    min_disp = 10.0 ** min_disp_pow
+    max_disp = max(10.0, S)
+    if grid is None:
+        grid = np.linspace(np.log(min_disp), np.log(max_disp), 20)
+    if test not in ("Wald", "LRT"):
+        raise ValueError("test must be 'Wald' or 'LRT'")
+    if fit_type == "glmGamPoi" and test == "Wald" and not quiet:
+        import warnings
+        warnings.warn("glmGamPoi fitType is designed for the LRT "
+                      "quasi-likelihood F-test (reference R/core.R:"
+                      "347-350); Wald p-values use the QL-mapped "
+                      "dispersions")
+
+    padded_G = G
+    if mesh is not None and mesh.devices.size > 1:
+        from .sharding import pad_to_multiple, replicated, shard_genes
+        n_dev = mesh.devices.size
+        counts_h, _ = pad_to_multiple(np.asarray(counts), n_dev, 0)
+        padded_G = counts_h.shape[0]
+        counts = jax.device_put(counts_h, shard_genes(mesh))
+        rep = replicated(mesh)
+        cells = jax.device_put(np.asarray(cells, np.int32), rep)
+        size_factors = jax.device_put(np.asarray(size_factors), rep)
+        grid_d = jax.device_put(np.asarray(grid), rep)
+    else:
+        mesh = None
+        counts = jnp.asarray(counts)
+        cells = jnp.asarray(cells, jnp.int32)
+        size_factors = jnp.asarray(np.asarray(size_factors))
+        grid_d = jnp.asarray(grid)
+
+    kw = dict(n_groups=n_groups, maxit=maxit, min_disp_pow=min_disp_pow,
+              min_mu=min_mu, chunk=chunk, mesh=mesh)
+
+    st1 = _sc_stage1(counts, cells, size_factors, grid_d, **kw)
+    base_mean, base_var = st1["base_mean"], st1["base_var"]
+    all_zero, dge = st1["all_zero"], st1["disp_gene_est"]
+
+    disp_fit, coefs, var_log_disp, disp_prior_var = _sc_trend_and_prior(
+        base_mean, dge, all_zero, S, p, min_disp, fit_type)
+
+    out = dict(trendCoefs=coefs, dispPriorVar=disp_prior_var,
+               varLogDispEsts=var_log_disp)
+
+    disp_outlier = jnp.log(dge) > jnp.log(disp_fit) + \
         2.0 * jnp.sqrt(var_log_disp)
-    dispersion = jnp.where(disp_outlier, disp_gene_est, disp_map)
 
-    # ---- streamed ridge IRLS + Wald (cpp:282-465, R/core.R:1400-1508) --
-    # beta init via QR-equivalent LS on log(norm_counts + 0.1): for the
-    # one-factor design the LS solution is the per-group mean of
-    # log(yn + 0.1), accumulated in one streamed pass
-    def logls_body(acc, xc):
-        i_c, sf_c, cl_c, v_c = xc
-        yn = chunk_of(counts_p, i_c).astype(dtype) / sf_c[None, :]
-        oh = (jax.nn.one_hot(cl_c, C, dtype=dtype) * v_c[:, None])
-        acc += jnp.dot(jnp.log(yn + 0.1), oh,
-                       preferred_element_type=dtype)
-        return acc, None
+    ql = None
+    if fit_type == "glmGamPoi":
+        # QL shrinkage on host (G-vector ops; R/core.R:1064-1096)
+        from ..gampoi import overdispersion_shrinkage, ql_to_nb_alpha
+        bm = np.asarray(base_mean, np.float64)
+        az = np.asarray(all_zero, bool)
+        nzm = ~az
+        fitv = np.asarray(disp_fit, np.float64)
+        shrink = overdispersion_shrinkage(
+            np.asarray(dge, np.float64)[nzm], bm[nzm], S - p, fitv[nzm])
+        disp_map_nz = ql_to_nb_alpha(shrink["ql_disp_shrunken"], bm[nzm],
+                                     fitv[nzm], min_disp, max_disp)
+        disp_map = np.ones(padded_G)
+        disp_map[nzm] = disp_map_nz
+        disp_map_d = jnp.asarray(disp_map, base_mean.dtype)
+        dispersion = jnp.where(disp_outlier, dge, disp_map_d)
+        ql = shrink
+        for k_src, k_dst in (("ql_disp_estimate", "qlDispMLE"),
+                             ("ql_disp_trend", "qlDispFit"),
+                             ("ql_disp_shrunken", "qlDispMAP")):
+            full = np.full(padded_G, np.nan)
+            full[nzm] = shrink[k_src]
+            out[k_dst] = full
+        out["ql_df0"] = shrink["ql_df0"]
+        disp_map = disp_map_d
+    else:
+        disp_map = _sc_stage_map(counts, cells, size_factors, grid_d,
+                                 st1["q"], all_zero, dge, disp_fit,
+                                 disp_prior_var, **kw)
+        dispersion = jnp.where(disp_outlier, dge, disp_map)
 
-    logq, _ = jax.lax.scan(logls_body, jnp.zeros((G, C), dtype),
-                           (idxs, sfs, cls, vs))
-    logq = logq / n_c[None, :]            # (G,C) group means of log
-    beta0 = jnp.concatenate([logq[:, :1], logq[:, 1:] - logq[:, :1]],
-                            axis=1)
-    y_alpha = jnp.where(all_zero, 1.0, dispersion)
-    size = 1.0 / y_alpha
+    # ---- GLM fits + test statistics ----
+    lrt = test == "LRT"
+    ql_mode = lrt and fit_type == "glmGamPoi"
+    # QL betas are fit at the *trend* dispersions (lrt.py kwargs
+    # alpha_hat=disp_trend, mirroring glm_gp); otherwise at the final
+    # dispersions
+    fit_alpha = disp_fit if ql_mode else dispersion
+    glm = _sc_stage_glm(counts, cells, size_factors, st1["logq"],
+                        all_zero, fit_alpha, base_mean,
+                        with_reduced=lrt, with_loglik=lrt, **kw)
+    beta, beta_var = glm["beta"], glm["beta_var"]
+    dtype = beta.dtype
+    beta_log2 = LOG2E * beta
+    se_log2 = LOG2E * jnp.sqrt(jnp.maximum(beta_var, 0.0))
 
-    def dev_const_body(acc, xc):
-        i_c, v_c = xc
-        y_f = chunk_of(counts_p, i_c).astype(dtype)
-        acc += jnp.sum(v_c[None, :] * (gammaln(y_f + size[:, None])
-                                       - gammaln(y_f + 1.0)), axis=1)
-        return acc, None
+    if lrt:
+        if ql_mode:
+            # quasi-likelihood F-test on host (G scalars)
+            from ..gampoi import ql_f_test
+            nzm = ~np.asarray(all_zero, bool)
+            llf = np.asarray(glm["ll_full"], np.float64)
+            llr = np.asarray(glm["ll_reduced"], np.float64)
+            qlmap = out["qlDispMAP"]
+            f_stat = np.full(padded_G, np.nan)
+            pval = np.full(padded_G, np.nan)
+            f_nz, p_nz = ql_f_test(llf[nzm], llr[nzm], p - 1,
+                                   qlmap[nzm], out["ql_df0"], S - p)
+            f_stat[nzm] = f_nz
+            pval[nzm] = p_nz
+            stat_last = jnp.asarray(f_stat, dtype)
+            p_last = jnp.asarray(pval, dtype)
+        else:
+            from jax.scipy.special import gammaincc
+            df = p - 1
+            lrt_stat = 2.0 * (glm["ll_full"] - glm["ll_reduced"])
+            p_chi = gammaincc(jnp.asarray(df / 2.0, dtype),
+                              lrt_stat / 2.0)
+            stat_last = jnp.where(all_zero, jnp.nan, lrt_stat)
+            p_last = jnp.where(all_zero, jnp.nan, p_chi)
+        out["LRTStatistic"] = jnp.where(all_zero, jnp.nan, stat_last)
+        out["LRTPvalue"] = jnp.where(all_zero, jnp.nan, p_last)
+        stat_full = jnp.where(all_zero[:, None], jnp.nan,
+                              beta_log2 / se_log2)
+        pval_full = None
+    else:
+        stat_full = beta_log2 / se_log2
+        pval_full = erfc(jnp.abs(stat_full) / jnp.sqrt(2.0).astype(dtype))
+        stat_last = jnp.where(all_zero, jnp.nan, stat_full[:, -1])
+        p_last = jnp.where(all_zero, jnp.nan, pval_full[:, -1])
 
-    dc, _ = jax.lax.scan(dev_const_body, z_g, (idxs, vs))
-    dev_const = -2.0 * (dc + n_valid * (size * jnp.log(size)
-                                        - gammaln(size)))
+    p_last = jnp.where(all_zero, jnp.nan, p_last)
 
-    def irls_pass(beta):
-        """One streamed sweep: (X'WX (G,p,p), X'Wz (G,p), deviance)."""
-        def body(carry, xc):
-            A, r, dev = carry
-            i_c, sf_c, v_c, x_c, xx_c = xc
-            y_f = chunk_of(counts_p, i_c).astype(dtype)
-            mu = jnp.maximum(sf_c[None, :] * jnp.exp(beta @ x_c.T),
-                             min_mu)
-            w = v_c[None, :] * mu / (1.0 + y_alpha[:, None] * mu)
-            z = jnp.log(mu / sf_c[None, :]) + (y_f - mu) / mu
-            A += jnp.dot(w, xx_c, preferred_element_type=dtype)
-            r += jnp.dot(w * z, x_c, preferred_element_type=dtype)
-            t = jnp.where(y_f > 0.0, y_f * (jnp.log(mu)
-                                            - jnp.log(size[:, None] + mu)),
-                          0.0)
-            dev += -2.0 * jnp.sum(v_c[None, :] * (
-                -size[:, None] * jnp.log(size[:, None] + mu) + t), axis=1)
-            return (A, r, dev), None
+    # ---- independent filtering + BH tail (R/results.R:638-718) ----
+    if independent_filtering:
+        from .filterdev import filtered_bh_dev, theta_grid_dev
+        theta = theta_grid_dev(base_mean)
+        filter_padj, num_rej, cutoffs = filtered_bh_dev(
+            p_last, base_mean, theta, jnp.asarray(alpha, dtype))
+        small = jax.device_get(dict(num_rej=num_rej, theta=theta,
+                                    cutoffs=cutoffs))
+        j, _, _ = choose_filter_theta(small["theta"], small["num_rej"])
+        padj = filter_padj[j]
+        out["filterThreshold"] = float(small["cutoffs"][j])
+        out["filterTheta"] = float(small["theta"][j])
+        out["filterNumRej"] = small["num_rej"]
+    else:
+        padj = _bh_adjust(p_last, ~jnp.isnan(p_last))
 
-        (A, r, dev), _ = jax.lax.scan(
-            body, (jnp.zeros((G, p * p), dtype), jnp.zeros((G, p), dtype),
-                   z_g), (idxs, sfs, vs, xs, xxs))
-        return A.reshape(G, p, p), r, dev_const + dev
+    nanmask = lambda v: jnp.where(all_zero, jnp.nan, v)
+    out.update(
+        baseMean=base_mean, baseVar=base_var, allZero=all_zero,
+        dispGeneEst=nanmask(dge), dispFit=nanmask(disp_fit),
+        dispersion=nanmask(dispersion), dispMAP=nanmask(disp_map),
+        dispOutlier=disp_outlier & ~all_zero,
+        beta=jnp.where(all_zero[:, None], jnp.nan, beta_log2),
+        betaSE=jnp.where(all_zero[:, None], jnp.nan, se_log2),
+        log2FoldChange=jnp.where(all_zero, jnp.nan, beta_log2[:, -1]),
+        lfcSE=jnp.where(all_zero, jnp.nan, se_log2[:, -1]),
+        stat=stat_last, pvalue=p_last, padj=padj,
+        betaIter=glm["beta_iter"], betaConv=glm["beta_iter"] < maxit,
+        deviance=nanmask(glm["deviance"]))
+    if not lrt and pval_full is not None:
+        out["statMatrix"] = jnp.where(all_zero[:, None], jnp.nan,
+                                      stat_full)
+        out["pvalueMatrix"] = jnp.where(all_zero[:, None], jnp.nan,
+                                        pval_full)
 
-    eps = jnp.finfo(dtype).eps
-    beta_tol = jnp.maximum(1e-8, 30.0 * eps)
+    res = {}
+    for k, v in out.items():
+        a = np.asarray(jax.device_get(v)) if hasattr(v, "shape") else v
+        if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == padded_G \
+                and padded_G != G:
+            a = a[:G]
+        res[k] = a
+    return res
 
-    def irls_cond(s):
-        return (s[0] < maxit) & (jnp.max(s[5]) > 0.5)
 
-    def irls_body(s):
-        t, beta, dev_old, iters, dev, activef = s
-        active = activef > 0.5
-        iters = iters + active.astype(jnp.int32)
-        A, r, _ = irls_pass(beta)
-        beta_new = jnp.linalg.solve(A + ridge[None], r[..., None])[..., 0]
-        diverged = jnp.max(jnp.abs(beta_new), axis=1) > 30.0
-        beta_out = jnp.where(active[:, None], beta_new, beta)
-        cont = active & ~diverged
-        _, _, dev_new = irls_pass(beta_new)
-        dev = jnp.where(cont, dev_new, dev)
-        ct = jnp.abs(dev_new - dev_old) / (jnp.abs(dev_new) + 0.1)
-        bad = jnp.isnan(ct)
-        convd = (t > 0) & (ct < beta_tol)
-        if eps > 1e-10:  # f32-only beta-stall exit (ops/irls.py rule)
-            dbeta = jnp.max(jnp.abs(beta_new - beta), axis=1)
-            bmax = jnp.max(jnp.abs(beta_new), axis=1)
-            convd = convd | ((t > 0) & (dbeta < 32.0 * eps * (1.0 + bmax)))
-        iters = jnp.where(active & (diverged | (bad & ~diverged)),
-                          maxit, iters)
-        activef = (cont & ~bad & ~convd).astype(dtype)
-        dev_old = jnp.where(cont, dev_new, dev_old)
-        return (t + 1, beta_out, dev_old, iters, dev, activef)
+def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
+                      maxit=100, min_disp_pow=-8, min_mu=1e-6,
+                      chunk=DEFAULT_CHUNK):
+    """The original Wald/parametric single-cell pipeline contract
+    (returns device arrays keyed like the bulk fused pipeline).  Now a
+    thin wrapper over the staged implementation."""
+    kw = dict(n_groups=n_groups, maxit=maxit, min_disp_pow=min_disp_pow,
+              min_mu=min_mu, chunk=chunk, mesh=None)
+    G, S = counts.shape
+    p = n_groups
+    min_disp = 10.0 ** min_disp_pow
+    counts = jnp.asarray(counts)
+    cells = jnp.asarray(cells, jnp.int32)
+    size_factors = jnp.asarray(size_factors)
+    grid_d = jnp.asarray(grid)
 
-    state = (jnp.asarray(0, jnp.int32), beta0, z_g,
-             jnp.zeros(G, jnp.int32), z_g, jnp.ones(G, dtype))
-    _, beta, _, beta_iter, deviance, _ = jax.lax.while_loop(
-        irls_cond, irls_body, state)
-
-    # post-fit sigma sandwich diagonal (cpp:429-455)
-    A, _, _ = irls_pass(beta)
-    Ainv = jnp.linalg.inv(A + ridge[None])
-    sigma = Ainv @ A @ Ainv
-    beta_var = jnp.diagonal(sigma, axis1=1, axis2=2)
-
+    st1 = _sc_stage1(counts, cells, size_factors, grid_d, **kw)
+    base_mean, base_var = st1["base_mean"], st1["base_var"]
+    all_zero, dge = st1["all_zero"], st1["disp_gene_est"]
+    disp_fit, coefs, var_log_disp, disp_prior_var = _sc_trend_and_prior(
+        base_mean, dge, all_zero, S, p, min_disp, "parametric")
+    disp_map = _sc_stage_map(counts, cells, size_factors, grid_d,
+                             st1["q"], all_zero, dge, disp_fit,
+                             disp_prior_var, **kw)
+    disp_outlier = jnp.log(dge) > jnp.log(disp_fit) + \
+        2.0 * jnp.sqrt(var_log_disp)
+    dispersion = jnp.where(disp_outlier, dge, disp_map)
+    glm = _sc_stage_glm(counts, cells, size_factors, st1["logq"],
+                        all_zero, dispersion, base_mean, **kw)
+    beta, beta_var = glm["beta"], glm["beta_var"]
+    dtype = beta.dtype
     beta_log2 = LOG2E * beta
     se_log2 = LOG2E * jnp.sqrt(jnp.maximum(beta_var, 0.0))
     stat = beta_log2 / se_log2
     pval = erfc(jnp.abs(stat) / jnp.sqrt(2.0).astype(dtype))
     padj = _bh_adjust(jnp.where(all_zero, jnp.nan, pval[:, -1]),
                       ~all_zero)
-
     nanmask = lambda v: jnp.where(all_zero, jnp.nan, v)
     return dict(
         baseMean=base_mean, baseVar=base_var, allZero=all_zero,
-        dispGeneEst=nanmask(disp_gene_est), dispFit=nanmask(disp_fit),
+        dispGeneEst=nanmask(dge), dispFit=nanmask(disp_fit),
         dispersion=nanmask(dispersion), dispMAP=nanmask(disp_map),
         dispOutlier=disp_outlier & ~all_zero,
         trendCoefs=coefs, dispPriorVar=disp_prior_var,
@@ -478,5 +921,5 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
         betaSE=jnp.where(all_zero[:, None], jnp.nan, se_log2),
         stat=jnp.where(all_zero[:, None], jnp.nan, stat),
         pvalue=jnp.where(all_zero[:, None], jnp.nan, pval),
-        betaIter=beta_iter, betaConv=beta_iter < maxit,
-        deviance=nanmask(deviance), padjLast=padj)
+        betaIter=glm["beta_iter"], betaConv=glm["beta_iter"] < maxit,
+        deviance=nanmask(glm["deviance"]), padjLast=padj)
