@@ -463,19 +463,30 @@ def _sc_stage_map(counts, cells, size_factors, grid, q, all_zero,
                                    "min_mu", "chunk", "mesh",
                                    "with_reduced", "with_loglik"))
 def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
-                  base_mean, n_groups, maxit=100, min_disp_pow=-8,
+                  base_mean, ll_alpha_full=None, ll_alpha_red=None,
+                  n_groups=None, maxit=100, min_disp_pow=-8,
                   min_mu=1e-6, chunk=DEFAULT_CHUNK, mesh=None,
                   with_reduced=False, with_loglik=False):
     """Streamed ridge IRLS + sandwich SEs (cpp:282-465, R/core.R:1400-
     1508); optionally the intercept-only reduced model's closed form
-    and the R-recomputed (unclamped-mu) log-likelihoods for LRT/QL
-    (R/fitNbinomGLMs.R:99-137,180)."""
+    and the R-recomputed (unclamped-mu) log-likelihoods for LRT/QL.
+
+    `dispersion` weights the IRLS; the full-model logLike uses
+    `ll_alpha_full` (reference quirk: nbinomLogLike runs at
+    dispersions(object) even when the betas were fit at the trend,
+    R/fitNbinomGLMs.R:180-182) and the reduced closed form uses
+    `ll_alpha_red` (= alpha_hat, R/fitNbinomGLMs.R:103-114)."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     G, S = counts.shape
     p = n_groups
     env0 = _setup(counts, cells, size_factors, n_groups, chunk, dtype)
+    if ll_alpha_full is None:
+        ll_alpha_full = dispersion
+    if ll_alpha_red is None:
+        ll_alpha_red = dispersion
 
-    def per_gene(counts_p, logq_l, all_zero_l, alpha_l, base_mean_l):
+    def per_gene(counts_p, logq_l, all_zero_l, alpha_l, base_mean_l,
+                 llaf_l, llar_l):
         env = dict(env0, counts_p=counts_p)
         g_loc = counts_p.shape[0]
         z_g = jnp.zeros(g_loc, dtype)
@@ -577,15 +588,17 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
             # (nbinomLogLike, R/core.R:2208-2230); gathered per gene in
             # one streamed pass (mu_reduced = baseMean*sf is the
             # intercept closed form, R/fitNbinomGLMs.R:99-137)
-            inv_a = size
+            szf = 1.0 / jnp.where(all_zero_l, 1.0, llaf_l)
+            szr = 1.0 / jnp.where(all_zero_l, 1.0, llar_l)
 
             def ll_body(acc, xc):
                 ll_f, ll_r = acc
                 i_c, sf_c, cl_c, v_c, x_c = xc
                 y_f = _chunk_of(counts_p, i_c, chunk).astype(dtype)
-                com = gammaln(y_f + inv_a[:, None]) - gammaln(y_f + 1.0)
 
-                def row_ll(mu):
+                def row_ll(mu, inv_a):
+                    com = (gammaln(y_f + inv_a[:, None])
+                           - gammaln(y_f + 1.0))
                     t = jnp.where(y_f > 0.0,
                                   y_f * jnp.log(mu / (inv_a[:, None] + mu)),
                                   0.0)
@@ -596,19 +609,19 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
 
                 mu_f = sf_c[None, :] * jnp.exp(beta @ x_c.T)
                 mu_f = jnp.where(v_c[None, :] > 0, mu_f, 1.0)
-                ll_f += row_ll(mu_f)
+                ll_f += row_ll(mu_f, szf)
                 if with_reduced:
                     mu_r = base_mean_l[:, None] * sf_c[None, :]
                     mu_r = jnp.where(v_c[None, :] > 0,
                                      jnp.where(all_zero_l[:, None], 1.0,
                                                mu_r), 1.0)
-                    ll_r += row_ll(mu_r)
+                    ll_r += row_ll(mu_r, szr)
                 return (ll_f, ll_r), None
 
             # the -gammaln(size) term is shared by every valid sample
-            ll0 = -n_valid * gammaln(inv_a)
             (ll_full, ll_red), _ = jax.lax.scan(
-                ll_body, (ll0, ll0),
+                ll_body, (-n_valid * gammaln(szf),
+                          -n_valid * gammaln(szr)),
                 (env["idxs"], env["sfs"], env["cls"], env["vs"],
                  env["xs"]))
             out["ll_full"] = ll_full
@@ -618,10 +631,11 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
 
     if mesh is not None and mesh.devices.size > 1:
         gP = _gene_spec(mesh)
-        return _smap(mesh, per_gene, (gP, gP, gP, gP, gP))(
-            env0["counts_p"], logq, all_zero, dispersion, base_mean)
+        return _smap(mesh, per_gene, (gP, gP, gP, gP, gP, gP, gP))(
+            env0["counts_p"], logq, all_zero, dispersion, base_mean,
+            ll_alpha_full, ll_alpha_red)
     return per_gene(env0["counts_p"], logq, all_zero, dispersion,
-                    base_mean)
+                    base_mean, ll_alpha_full, ll_alpha_red)
 
 
 # ---------------------------------------------------------------------------
@@ -780,10 +794,13 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
     ql_mode = lrt and fit_type == "glmGamPoi"
     # QL betas are fit at the *trend* dispersions (lrt.py kwargs
     # alpha_hat=disp_trend, mirroring glm_gp); otherwise at the final
-    # dispersions
+    # dispersions.  The full-model logLike always runs at the final
+    # dispersion column while the reduced closed form runs at alpha_hat
+    # (reference quirk, R/fitNbinomGLMs.R:103-114 vs 180-182).
     fit_alpha = disp_fit if ql_mode else dispersion
     glm = _sc_stage_glm(counts, cells, size_factors, st1["logq"],
                         all_zero, fit_alpha, base_mean,
+                        ll_alpha_full=dispersion, ll_alpha_red=fit_alpha,
                         with_reduced=lrt, with_loglik=lrt, **kw)
     beta, beta_var = glm["beta"], glm["beta_var"]
     dtype = beta.dtype

@@ -75,3 +75,98 @@ def test_sc_three_groups():
     assert np.isfinite(np.asarray(out["dispersion"])[nz]).all()
     assert np.isfinite(np.asarray(out["pvalue"])[nz]).all()
     assert np.asarray(out["betaConv"])[nz].mean() > 0.95
+
+
+@pytest.fixture(scope="module")
+def host_gampoi_and_sc():
+    """Host glmGamPoi QL path vs streamed fused_sc_results on small
+    shapes (the SC-scale QL contract, R/core.R:1064-1096, 1898-1947)."""
+    from deseq2_tpu.parallel.sc import fused_sc_results
+    dds = dt.make_example_dataset(n=300, m=20, beta_sd=1.0, seed=31)
+    dds = dt.deseq(dds, test="LRT", reduced="~ 1", fit_type="glmGamPoi")
+    res = dt.results(dds)
+    cells = np.asarray(dds.col_data["condition"].codes, np.int32)
+    out = fused_sc_results(np.asarray(dds.counts), cells,
+                           dds.size_factors, n_groups=2, chunk=7,
+                           test="LRT", fit_type="glmGamPoi")
+    return dds, res, out
+
+
+def test_sc_ql_dispersions(host_gampoi_and_sc):
+    dds, res, out = host_gampoi_and_sc
+    _cmp(dds.row_data["dispGeneEst"], out["dispGeneEst"], "dispGeneEst")
+    _cmp(dds.row_data["dispFit"], out["dispFit"], "loc_median dispFit")
+    _cmp(dds.row_data["qlDispMLE"], out["qlDispMLE"], "qlDispMLE")
+    _cmp(dds.row_data["qlDispFit"], out["qlDispFit"], "qlDispFit")
+    _cmp(dds.row_data["qlDispMAP"], out["qlDispMAP"], "qlDispMAP")
+    _cmp(dds.row_data["dispersion"], out["dispersion"], "dispersion")
+    assert out["ql_df0"] == pytest.approx(
+        dds.attrs["quasiLikelihood_df0"], rel=1e-9)
+
+
+def test_sc_ql_f_test(host_gampoi_and_sc):
+    dds, res, out = host_gampoi_and_sc
+    _cmp(dds.row_data["LRTStatistic"], out["LRTStatistic"], "F stat")
+    _cmp(dds.row_data["LRTPvalue"], out["LRTPvalue"], "F pvalue")
+    _cmp(res["pvalue"], out["pvalue"], "results pvalue")
+    _cmp(res["padj"], out["padj"], "filtered padj")
+
+
+def test_sc_parametric_lrt_matches_host():
+    """Streamed chi-square LRT (parametric trend) == host nbinomLRT."""
+    from deseq2_tpu.parallel.sc import fused_sc_results
+    dds = dt.make_example_dataset(n=250, m=18, beta_sd=1.0, seed=32)
+    dds = dt.deseq(dds, test="LRT", reduced="~ 1",
+                   min_replicates_for_replace=np.inf)
+    res = dt.results(dds)
+    cells = np.asarray(dds.col_data["condition"].codes, np.int32)
+    out = fused_sc_results(np.asarray(dds.counts), cells,
+                           dds.size_factors, n_groups=2, min_mu=0.5,
+                           test="LRT", fit_type="parametric")
+    _cmp(dds.row_data["LRTStatistic"], out["LRTStatistic"], "LRT stat")
+    _cmp(dds.row_data["LRTPvalue"], out["LRTPvalue"], "LRT pvalue")
+    _cmp(res["padj"], out["padj"], "padj")
+
+
+def test_sc_results_wald_matches_pipeline():
+    """fused_sc_results(test='Wald') == fused_sc_pipeline columns +
+    the filtering tail runs."""
+    import jax.numpy as jnp
+    from deseq2_tpu.parallel.sc import (fused_sc_pipeline,
+                                        fused_sc_results)
+    dds = dt.make_example_dataset(n=200, m=16, beta_sd=1.0, seed=33)
+    dds = dt.estimate_size_factors(dds)
+    cells = np.asarray(dds.col_data["condition"].codes, np.int32)
+    grid = np.linspace(np.log(1e-8), np.log(16.0), 20)
+    pipe = fused_sc_pipeline(jnp.asarray(np.asarray(dds.counts)),
+                             jnp.asarray(cells),
+                             jnp.asarray(dds.size_factors),
+                             jnp.asarray(grid), n_groups=2)
+    out = fused_sc_results(np.asarray(dds.counts), cells,
+                           dds.size_factors, n_groups=2, test="Wald")
+    _cmp(np.asarray(pipe["dispersion"]), out["dispersion"], "dispersion")
+    _cmp(np.asarray(pipe["beta"]), out["beta"], "beta")
+    _cmp(np.asarray(pipe["pvalue"])[:, -1], out["pvalue"], "pvalue")
+    assert np.isfinite(out["padj"]).any()
+
+
+def test_sc_mesh_matches_single_device():
+    """fused_sc_results sharded over the 8-device CPU mesh ==
+    single-device run (gene-axis sharding, QL mode)."""
+    import jax
+    from deseq2_tpu.parallel.sc import fused_sc_results
+    from deseq2_tpu.parallel.sharding import gene_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    dds = dt.make_example_dataset(n=203, m=20, beta_sd=1.0, seed=34)
+    dds = dt.estimate_size_factors(dds)
+    cells = np.asarray(dds.col_data["condition"].codes, np.int32)
+    kw = dict(n_groups=2, chunk=7, test="LRT", fit_type="glmGamPoi")
+    one = fused_sc_results(np.asarray(dds.counts), cells,
+                           dds.size_factors, **kw)
+    mesh = gene_mesh(8)
+    shd = fused_sc_results(np.asarray(dds.counts), cells,
+                           dds.size_factors, mesh=mesh, **kw)
+    for k in ("dispGeneEst", "dispFit", "qlDispMAP", "dispersion",
+              "LRTStatistic", "LRTPvalue", "padj"):
+        _cmp(one[k], shd[k], f"mesh {k}", rtol=1e-10, atol=1e-12)
