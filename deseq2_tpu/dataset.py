@@ -106,6 +106,14 @@ class DESeqDataSet:
                             e is None or (isinstance(e, float) and np.isnan(e))
                             for e in arr.tolist()):
                         self._cols_with_na.add(k)
+                    elif arr.dtype.kind in "US" and any(
+                            str(e) in ("nan", "NA", "None", "NaN", "<NA>")
+                            for e in arr.tolist()):
+                        # np.array(['A', np.nan]) coerces NaN to the
+                        # *string* 'nan' before we ever see it; the
+                        # reference raises on NA design variables
+                        # (R/AllClasses.R:198-201), so flag these too
+                        self._cols_with_na.add(k)
                     self.col_data[k] = Factor(arr.astype(str))
                     if arr.dtype.kind in "OUS":
                         coerced_from_char.add(k)

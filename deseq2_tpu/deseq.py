@@ -123,6 +123,28 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
     dds = dds.copy()
     dds.attrs["betaPrior"] = beta_prior
 
+    # Single-cell-scale guardrail (the reference's own SC guidance,
+    # R/core.R:297-303): the host-exact path materializes several (G,S)
+    # f64 intermediates, so covariate designs at tens of thousands of
+    # samples can exhaust host/device memory.  The streamed fast path
+    # (parallel.sc.fused_sc_results) only factorizes group-like designs,
+    # so point the user at their options instead of OOMing silently.
+    S_n = dds.counts.shape[1]
+    if S_n >= 10000:
+        mm_chk = model_matrix if model_matrix is not None \
+            else dds.model_matrix()[0]
+        mm_chk = np.asarray(mm_chk)
+        group_like = len({tuple(r) for r in mm_chk}) == mm_chk.shape[1]
+        if not group_like and not quiet:
+            warnings.warn(
+                f"design with covariates at {S_n} samples takes the "
+                "materializing host path (several (genes x samples) "
+                "intermediates). For single-cell scale use a group-only "
+                "design with parallel.sc.fused_sc_results (streamed, "
+                "fit_type='glmGamPoi'), pseudobulk the covariate, subset "
+                "cells, or shard the exact path over devices with "
+                "deseq(..., mesh=gene_mesh(n))")
+
     G = dds.counts.shape[0]
     if dds.size_factors is None and dds.normalization_factors is None:
         with profiling.stage("estimateSizeFactors", genes=G):

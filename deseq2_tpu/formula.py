@@ -50,12 +50,16 @@ class Factor:
 
     __slots__ = ("codes", "levels", "ordered")
 
-    def __init__(self, values, levels=None, ordered=False):
-        self.ordered = bool(ordered)
+    def __init__(self, values, levels=None, ordered=None):
+        # ordered=None inherits from a source Factor (R's factor(x)
+        # keeps is.ordered(x)); an explicit bool always overrides, so
+        # Factor(f, ordered=False) clears the flag like
+        # R's factor(x, ordered=FALSE)
+        self.ordered = bool(ordered) if ordered is not None else False
         if isinstance(values, Factor):
             self.codes = values.codes.copy()
             self.levels = list(values.levels)
-            if not ordered:
+            if ordered is None:
                 self.ordered = values.ordered
             if levels is not None:
                 self._set_levels(levels)

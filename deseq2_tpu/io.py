@@ -130,6 +130,7 @@ def save_dataset(dds: DESeqDataSet, path):
         "metadata": _jsonable(dds.metadata) if dds.metadata else {},
         "config": dataclasses.asdict(dds.config),
         "col_factors": {},
+        "col_factors_ordered": {},
         "col_numeric": [],
     }
     if isinstance(dds.design, np.ndarray):
@@ -141,6 +142,7 @@ def save_dataset(dds: DESeqDataSet, path):
         if isinstance(v, Factor):
             arrays[f"colf:{k}"] = v.codes
             meta["col_factors"][k] = list(v.levels)
+            meta["col_factors_ordered"][k] = bool(v.ordered)
         else:
             arrays[f"coln:{k}"] = np.asarray(v)
             meta["col_numeric"].append(k)
@@ -174,12 +176,13 @@ def load_dataset(path) -> DESeqDataSet:
         raise ValueError("checkpoint written by a newer deseq2_tpu")
 
     col_data = {}
+    ordered_flags = meta.get("col_factors_ordered", {})
     for k, levels in meta["col_factors"].items():
         codes = arrays.pop(f"colf:{k}")
         f = Factor.__new__(Factor)
         f.codes = codes
         f.levels = list(levels)
-        f.ordered = False
+        f.ordered = bool(ordered_flags.get(k, False))
         col_data[k] = f
     for k in meta["col_numeric"]:
         col_data[k] = arrays.pop(f"coln:{k}")

@@ -155,3 +155,18 @@ def test_counts_accessor_and_coef():
     fresh = dt.make_example_dataset(n=10, m=4, seed=1)
     with pytest.raises(ValueError, match="no coefficients"):
         fresh.coef()
+
+
+def test_string_nan_design_variable_rejected():
+    """A str-dtype colData column holding the coerced string 'nan'
+    trips the NA-in-design check like the reference's
+    'variables in design formula cannot contain NA'
+    (R/AllClasses.R:198-201; ADVICE r2)."""
+    import numpy as np
+    import pytest
+    import deseq2_tpu as dt
+    counts = np.ones((5, 4), dtype=np.int32)
+    cond = np.array(["A", "A", "B", np.nan])  # coerces to 'nan' string
+    assert cond.dtype.kind == "U"
+    with pytest.raises(ValueError, match="cannot contain NA"):
+        dt.DESeqDataSet(counts, {"condition": cond}, "~ condition")

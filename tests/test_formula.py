@@ -121,3 +121,14 @@ def test_construction_errors():
         DESeqDataSet(np.array([[1.0, np.nan, 3, 4]]), cond, "~ condition")
     with pytest.raises(ValueError, match="missing 'other'"):
         DESeqDataSet(np.array([[1, 2, 3, 4]]), cond, "~ other")
+
+
+def test_factor_ordered_sentinel():
+    """Factor(f) inherits orderedness; an explicit bool overrides
+    (ADVICE r2: explicit False was indistinguishable from default)."""
+    from deseq2_tpu.formula import Factor
+    f = Factor(["a", "b"], ordered=True)
+    assert Factor(f).ordered is True
+    assert Factor(f, ordered=False).ordered is False
+    assert Factor(f, ordered=True).ordered is True
+    assert Factor(["a", "b"]).ordered is False

@@ -101,3 +101,18 @@ def test_attrs_and_matrix_design_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.attrs["modelMatrix"], x)
     assert back.attrs["test"] == "Wald"
     assert back.attrs["betaPriorVar"] == [1e6, 1.2]
+
+
+def test_ordered_factor_roundtrip(tmp_path):
+    """save/load preserves the ordered flag of factor columns
+    (ADVICE r2: load_dataset hardcoded ordered=False)."""
+    import deseq2_tpu as dt
+    dds = dt.make_example_dataset(n=20, m=6, seed=3)
+    dds.col_data["stage"] = dt.Factor(["I", "II", "III"] * 2,
+                                      levels=["I", "II", "III"],
+                                      ordered=True)
+    p = tmp_path / "dds.npz"
+    dt.save_dataset(dds, p)
+    back = dt.load_dataset(p)
+    assert back.col_data["stage"].ordered is True
+    assert back.col_data["condition"].ordered is False
