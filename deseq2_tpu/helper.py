@@ -226,3 +226,28 @@ def integrate_with_single_cell(res, dds, csv_table=None):
             raise ValueError("Only human and mouse are currently supported")
     tab = [row for row in (csv_table or []) if row.get("org") == org]
     return dict(org=org, datasets=tab, res=res, dds=dds)
+
+
+def make_counts_from_abundance(counts, abundance, length,
+                               counts_from_abundance="lengthScaledTPM"):
+    """tximport::makeCountsFromAbundance equivalent (vendored for the
+    tximport ingestion contract exercised by the reference's
+    tests/testthat/test_txi.R:22-28).
+
+    'scaledTPM': abundance columns rescaled so each sample's total
+    matches its original count total.  'lengthScaledTPM': abundance is
+    first multiplied by the gene's mean transcript length across
+    samples, then rescaled the same way.
+    """
+    counts = np.asarray(counts, dtype=np.float64)
+    abundance = np.asarray(abundance, dtype=np.float64)
+    if counts_from_abundance == "lengthScaledTPM":
+        length = np.asarray(length, dtype=np.float64)
+        new_cts = abundance * length.mean(axis=1, keepdims=True)
+    elif counts_from_abundance == "scaledTPM":
+        new_cts = abundance.copy()
+    else:
+        raise ValueError("countsFromAbundance must be 'scaledTPM' or "
+                         "'lengthScaledTPM'")
+    scale = counts.sum(axis=0) / new_cts.sum(axis=0)
+    return new_cts * scale[None, :]
