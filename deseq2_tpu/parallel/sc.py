@@ -510,72 +510,116 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
         dev_const = -2.0 * (dc + n_valid * (size * jnp.log(size)
                                             - gammaln(size)))
 
-        def irls_pass(beta):
-            """One streamed sweep: X'WX (g,p,p), X'Wz (g,p), deviance."""
-            def body(carry, xc):
-                A, r, dev = carry
-                i_c, sf_c, v_c, x_c, xx_c = xc
-                y_f = _chunk_of(counts_p, i_c, chunk).astype(dtype)
-                mu = jnp.maximum(sf_c[None, :] * jnp.exp(beta @ x_c.T),
-                                 min_mu)
-                w = v_c[None, :] * mu / (1.0 + y_alpha[:, None] * mu)
-                z = jnp.log(mu / sf_c[None, :]) + (y_f - mu) / mu
-                A += jnp.dot(w, xx_c, preferred_element_type=dtype)
-                r += jnp.dot(w * z, x_c, preferred_element_type=dtype)
-                t = jnp.where(y_f > 0.0,
-                              y_f * (jnp.log(mu)
-                                     - jnp.log(size[:, None] + mu)), 0.0)
-                dev += -2.0 * jnp.sum(v_c[None, :] * (
-                    -size[:, None] * jnp.log(size[:, None] + mu) + t),
-                    axis=1)
-                return (A, r, dev), None
-
-            (A, r, dev), _ = jax.lax.scan(
-                body, (jnp.zeros((g_loc, p * p), dtype),
-                       jnp.zeros((g_loc, p), dtype), z_g),
-                (env["idxs"], env["sfs"], env["vs"], env["xs"],
-                 env["xxs"]))
-            return A.reshape(g_loc, p, p), r, dev_const + dev
-
         eps = jnp.finfo(dtype).eps
         beta_tol = jnp.maximum(1e-8, 30.0 * eps)
 
+        def make_irls(dcl, row_idx):
+            """IRLS closures for the full batch (row_idx=None) or a
+            compacted straggler block.
+
+            ONE streamed sweep per iteration: the sweep at beta_k yields
+            both the deviance of beta_k (the convergence test the
+            reference applies to successive iterates, cpp:365-382 —
+            shifted by one sweep, identical dev/beta sequences) and the
+            normal equations producing beta_{k+1}.  The two-sweep
+            formulation (A,r at beta; then deviance at beta_new) reads
+            the counts from HBM twice per iteration for the same
+            numbers."""
+            d_size, d_alpha, d_devc = dcl
+
+            def irls_pass(beta):
+                def body(carry, xc):
+                    A, r, dev = carry
+                    i_c, sf_c, v_c, x_c, xx_c = xc
+                    y_blk = _chunk_of(counts_p, i_c, chunk)
+                    if row_idx is not None:
+                        y_blk = jnp.take(y_blk, row_idx, axis=0)
+                    y_f = y_blk.astype(dtype)
+                    mu = jnp.maximum(sf_c[None, :] * jnp.exp(beta @ x_c.T),
+                                     min_mu)
+                    w = v_c[None, :] * mu / (1.0 + d_alpha[:, None] * mu)
+                    z = jnp.log(mu / sf_c[None, :]) + (y_f - mu) / mu
+                    A += jnp.dot(w, xx_c, preferred_element_type=dtype)
+                    r += jnp.dot(w * z, x_c, preferred_element_type=dtype)
+                    t = jnp.where(y_f > 0.0,
+                                  y_f * (jnp.log(mu)
+                                         - jnp.log(d_size[:, None] + mu)),
+                                  0.0)
+                    dev += -2.0 * jnp.sum(v_c[None, :] * (
+                        -d_size[:, None] * jnp.log(d_size[:, None] + mu)
+                        + t), axis=1)
+                    return (A, r, dev), None
+
+                g_b = beta.shape[0]
+                (A, r, dev), _ = jax.lax.scan(
+                    body, (jnp.zeros((g_b, p * p), dtype),
+                           jnp.zeros((g_b, p), dtype),
+                           jnp.zeros(g_b, dtype)),
+                    (env["idxs"], env["sfs"], env["vs"], env["xs"],
+                     env["xxs"]))
+                return A.reshape(g_b, p, p), r, d_devc + dev
+
+            def body(s):
+                (k, beta_prev, beta, dev_prev, iters, dev_out, A_out,
+                 activef) = s
+                active = activef > 0.5
+                A, r, dev_cur = irls_pass(beta)
+                dev_out = jnp.where(active, dev_cur, dev_out)
+                A_out = jnp.where(active[:, None, None], A, A_out)
+                ct = jnp.abs(dev_cur - dev_prev) / (jnp.abs(dev_cur) + 0.1)
+                bad = jnp.isnan(ct)
+                convd = (k > 1) & (ct < beta_tol)
+                if eps > 1e-10:  # f32-only beta-stall exit (ops/irls.py)
+                    dbeta = jnp.max(jnp.abs(beta - beta_prev), axis=1)
+                    bmax = jnp.max(jnp.abs(beta), axis=1)
+                    convd = convd | ((k > 1) &
+                                     (dbeta < 32.0 * eps * (1.0 + bmax)))
+                iters = jnp.where(active & bad, maxit, iters)
+                solve_now = active & ~convd & ~bad & (k < maxit)
+                beta_new = jnp.linalg.solve(A + ridge[None],
+                                            r[..., None])[..., 0]
+                diverged = jnp.max(jnp.abs(beta_new), axis=1) > 30.0
+                beta_prev_out = beta
+                beta = jnp.where(solve_now[:, None], beta_new, beta)
+                iters = iters + solve_now.astype(jnp.int32)
+                iters = jnp.where(solve_now & diverged, maxit, iters)
+                active_next = solve_now & ~diverged
+                dev_prev = jnp.where(active, dev_cur, dev_prev)
+                return (k + 1, beta_prev_out, beta, dev_prev, iters,
+                        dev_out, A_out, active_next.astype(dtype))
+
+            return body
+
         def irls_cond(s):
-            return (s[0] < maxit) & (jnp.max(s[5]) > 0.5)
+            return (s[0] <= maxit) & (jnp.max(s[7]) > 0.5)
 
-        def irls_body(s):
-            t, beta, dev_old, iters, dev, activef = s
-            active = activef > 0.5
-            iters = iters + active.astype(jnp.int32)
-            A, r, _ = irls_pass(beta)
-            beta_new = jnp.linalg.solve(A + ridge[None],
-                                        r[..., None])[..., 0]
-            diverged = jnp.max(jnp.abs(beta_new), axis=1) > 30.0
-            beta_out = jnp.where(active[:, None], beta_new, beta)
-            cont = active & ~diverged
-            _, _, dev_new = irls_pass(beta_new)
-            dev = jnp.where(cont, dev_new, dev)
-            ct = jnp.abs(dev_new - dev_old) / (jnp.abs(dev_new) + 0.1)
-            bad = jnp.isnan(ct)
-            convd = (t > 0) & (ct < beta_tol)
-            if eps > 1e-10:  # f32-only beta-stall exit (ops/irls.py rule)
-                dbeta = jnp.max(jnp.abs(beta_new - beta), axis=1)
-                bmax = jnp.max(jnp.abs(beta_new), axis=1)
-                convd = convd | ((t > 0) &
-                                 (dbeta < 32.0 * eps * (1.0 + bmax)))
-            iters = jnp.where(active & (diverged | (bad & ~diverged)),
-                              maxit, iters)
-            activef = (cont & ~bad & ~convd).astype(dtype)
-            dev_old = jnp.where(cont, dev_new, dev_old)
-            return (t + 1, beta_out, dev_old, iters, dev, activef)
+        from ..ops.padding import compact_live_indices
+        cap = min(1 << (max(g_loc // 8, 512) - 1).bit_length(), g_loc)
+        data_full = (size, y_alpha, dev_const)
+        state = (jnp.asarray(0, jnp.int32), beta0, beta0, z_g,
+                 jnp.zeros(g_loc, jnp.int32), z_g,
+                 jnp.zeros((g_loc, p, p), dtype), jnp.ones(g_loc, dtype))
+        body_full = make_irls(data_full, None)
+        if cap * 2 >= g_loc:
+            state = jax.lax.while_loop(irls_cond, body_full, state)
+        else:
+            state = jax.lax.while_loop(
+                lambda s: (s[0] <= maxit) & (jnp.sum(s[7]) > cap),
+                body_full, state)
+            live = state[7] > 0.5
+            idx = compact_live_indices(live, cap)
+            sub = (state[0],) + tuple(v[idx] for v in state[1:])
+            body_sub = make_irls(tuple(v[idx] for v in data_full), idx)
+            sub = jax.lax.while_loop(irls_cond, body_sub, sub)
+            state = (sub[0],) + tuple(
+                full.at[idx].set(part)
+                for full, part in zip(state[1:], sub[1:]))
+        _, _, beta, _, beta_iter, deviance, A, _ = state
 
-        state = (jnp.asarray(0, jnp.int32), beta0, z_g,
-                 jnp.zeros(g_loc, jnp.int32), z_g, jnp.ones(g_loc, dtype))
-        _, beta, _, beta_iter, deviance, _ = jax.lax.while_loop(
-            irls_cond, irls_body, state)
-
-        # post-fit sigma sandwich diagonal (cpp:429-455)
-        A, _, _ = irls_pass(beta)
+        # post-fit sigma sandwich diagonal (cpp:429-455) from the A of
+        # the last swept beta (== final beta for converged/maxit rows;
+        # pre-divergence beta for diverged rows, matching the host
+        # kernel's kept-mu rule)
         Ainv = jnp.linalg.inv(A + ridge[None])
         sigma = Ainv @ A @ Ainv
         beta_var = jnp.diagonal(sigma, axis1=1, axis2=2)
@@ -642,6 +686,48 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
 # orchestrators
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("npoints",))
+def _loc_median_window_dev(ys, npoints):
+    """Sliding tricube-weighted median over x-sorted values, on device.
+
+    Same windows and first-crossing pick as gampoi.loc_median_fit's
+    scalar loop (glmGamPoi::loc_median_fit contract); the (n, npoints)
+    window sort runs as one lax.sort — at 30k genes the host loop costs
+    ~9 s, a third of the streamed SC QL pipeline."""
+    n = ys.shape[0]
+    half = npoints // 2
+    lo = jnp.clip(jnp.arange(n) - half, 0, n - npoints)
+    idx = lo[:, None] + jnp.arange(npoints)[None, :]
+    Wc = ys[idx]
+    off = (jnp.arange(n) - lo).astype(ys.dtype)
+    rel = (jnp.arange(npoints, dtype=ys.dtype)[None, :]
+           - off[:, None]) / max(half, 1)
+    wts = (1.0 - jnp.minimum(jnp.abs(rel), 1.0) ** 3) ** 3
+    svals, swts = jax.lax.sort((Wc, wts), dimension=1, num_keys=1)
+    cw = jnp.cumsum(swts, axis=1)
+    pick = jnp.argmax(cw >= 0.5 * cw[:, -1:], axis=1)
+    return jnp.take_along_axis(svals, pick[:, None], axis=1)[:, 0]
+
+
+def _loc_median_fit_fast(x, y, fraction=0.1):
+    """gampoi.loc_median_fit with the window stage on device for large
+    inputs (identical windows/weights/pick; value selection at device
+    precision)."""
+    import numpy as np
+    from ..gampoi import loc_median_fit
+    n = len(x)
+    if n < 4096:
+        return loc_median_fit(x, y)
+    npoints = min(max(int(np.round(fraction * n)), 2), n)
+    order = np.argsort(x, kind="stable")
+    ys = np.asarray(y, np.float64)[order]
+    med_sorted = np.asarray(_loc_median_window_dev(jnp.asarray(ys),
+                                                   npoints))
+    out = np.empty(n)
+    out[order] = med_sorted
+    return out
+
+
 def _sc_trend_and_prior(base_mean, disp_gene_est, all_zero, S, p, min_disp,
                         fit_type):
     """Cross-gene trend + dispersion prior pieces.  parametric: gamma
@@ -658,12 +744,12 @@ def _sc_trend_and_prior(base_mean, disp_gene_est, all_zero, S, p, min_disp,
         disp_fit = coefs[0] + coefs[1] / jnp.where(all_zero, 1.0,
                                                    base_mean)
     elif fit_type == "glmGamPoi":
-        from ..gampoi import loc_median_fit, make_closest_index_disp_fn
+        from ..gampoi import make_closest_index_disp_fn
         bm = np.asarray(base_mean, np.float64)
         dge = np.asarray(disp_gene_est, np.float64)
         az = np.asarray(all_zero, bool)
         use = (dge > 100 * min_disp) & ~az
-        medians = loc_median_fit(bm[use], dge[use])
+        medians = _loc_median_fit_fast(bm[use], dge[use])
         fn = make_closest_index_disp_fn(bm[use], medians)
         fit = np.ones_like(bm)
         fit[~az] = fn(bm[~az])

@@ -104,3 +104,31 @@ def test_gampoi_vs_standard_dispersions():
     ra = np.log(a.row_data["dispersion"][nz])
     rb = np.log(b.row_data["dispersion"][nz])
     assert np.corrcoef(ra, rb)[0, 1] > 0.8
+
+
+def test_loc_median_vectorized_matches_loop():
+    """The vectorized / device sliding-median paths match the scalar
+    loop exactly (same windows, weights, first-crossing pick)."""
+    import numpy as np
+    from deseq2_tpu import gampoi
+    from deseq2_tpu.parallel.sc import _loc_median_fit_fast
+    rng = np.random.default_rng(7)
+    n = 5000
+    x = rng.uniform(0, 100, n)
+    y = rng.gamma(2.0, 1.0, n)
+    # force the scalar loop for the reference answer
+    npoints = max(int(np.round(0.1 * n)), 2)
+    order = np.argsort(x, kind="stable")
+    ys = y[order]
+    half = npoints // 2
+    ref = np.empty(n)
+    for i in range(n):
+        lo = max(0, min(i - half, n - npoints))
+        hi = lo + npoints
+        rel = (np.arange(lo, hi) - i) / max(half, 1)
+        w = (1 - np.minimum(np.abs(rel), 1.0) ** 3) ** 3
+        ref[i] = gampoi._weighted_median(ys[lo:hi], w)
+    out = np.empty(n)
+    out[order] = ref
+    np.testing.assert_allclose(gampoi.loc_median_fit(x, y), out, rtol=0)
+    np.testing.assert_allclose(_loc_median_fit_fast(x, y), out, rtol=1e-12)
