@@ -480,21 +480,27 @@ def estimate_dispersions_prior_var(dds, min_disp=1e-8, model_matrix=None,
     if (m - p) <= 3 and m > p:
         # Monte-Carlo KL matching of the residual histogram against
         # log chi^2_(m-p) + N(0, s) over a variance grid
-        # (reference R/core.R:1157-1191; the reference pins R's RNG with
-        # set.seed(2), we pin numpy's generator — same estimator, same
-        # determinism guarantee, different stream)
-        rng = np.random.default_rng(rng_seed)
+        # (reference R/core.R:1157-1191).  The deviate stream is R's
+        # exact set.seed(2) Mersenne-Twister with R's rchisq (GD/GS
+        # gamma) and rnorm (inversion) algorithms (rng_r.py), consumed
+        # in R's left-to-right evaluation order; histograms use R
+        # hist()'s right-closed bins.  Remaining deviation: the final
+        # smoothing is a direct local-quadratic loess rather than R
+        # loess's surface="interpolate" kd-tree blend — it can move the
+        # fine-grid argmin by ~0.01 at most.
+        from .rng_r import RRandomState
+        rng = RRandomState(rng_seed)
         obs_dist = disp_residuals[above]
         brks = np.arange(-20, 21) / 2.0
         obs_dist = obs_dist[(obs_dist > brks[0]) & (obs_dist < brks[-1])]
         obs_var_grid = np.linspace(0, 8, 200)
-        obs_hist, _ = np.histogram(obs_dist, bins=brks, density=True)
+        obs_hist = _hist_density_right(obs_dist, brks)
         kl_divs = np.empty(len(obs_var_grid))
         for i, v in enumerate(obs_var_grid):
-            rand = (np.log(rng.chisquare(m - p, 10000))
-                    + rng.normal(0, np.sqrt(v), 10000) - np.log(m - p))
+            rand = (np.log(rng.rchisq(10000, m - p))
+                    + rng.rnorm(10000, 0.0, np.sqrt(v)) - np.log(m - p))
             rand = rand[(rand > brks[0]) & (rand < brks[-1])]
-            rand_hist, _ = np.histogram(rand, bins=brks, density=True)
+            rand_hist = _hist_density_right(rand, brks)
             z = np.concatenate([obs_hist, rand_hist])
             small = z[z > 0].min()
             kl_divs[i] = np.sum(obs_hist * (np.log(obs_hist + small)
@@ -509,6 +515,18 @@ def estimate_dispersions_prior_var(dds, min_disp=1e-8, model_matrix=None,
         exp_var_log_disp = polygamma(1, (m - p) / 2.0)
         return max(var_log_disp_ests - float(exp_var_log_disp), 0.25)
     return var_log_disp_ests
+
+
+def _hist_density_right(x, brks):
+    """R hist() bin densities: right-closed intervals (a, b], lowest
+    bin closed on both ends (include.lowest=TRUE)."""
+    idx = np.searchsorted(brks, x, side="left") - 1
+    idx = np.where((x == brks[0]), 0, idx)
+    nb = len(brks) - 1
+    counts = np.bincount(idx[(idx >= 0) & (idx < nb)], minlength=nb)
+    widths = np.diff(brks)
+    n = len(x)
+    return counts / (max(n, 1) * widths)
 
 
 def _loess_quadratic(x, y, span=0.2):
