@@ -68,12 +68,58 @@ def test_weights_downweight_dispersion_outlier():
     dds2 = dt.estimate_dispersions(dds2)
     dds3 = dds.subset_samples(np.arange(1, dds.n_samples))
     dds3 = dt.estimate_dispersions(dds3)
-    # the reference itself needs tolerance=1e-3 here (weight=0 is not
-    # bit-identical to dropping the sample in the weighted CR term);
-    # our gap is marginally wider (~2e-3)
+    # The reference itself needs tolerance=1e-3 here.  The gap is NOT in
+    # the weighted Cox-Reid term: test_weighted_cr_surface_identity
+    # below proves the masked-batch lp/dlp at weight=0 are bit-identical
+    # to the dropped-sample surfaces at the same mu.  What remains is
+    # (a) the dispersion INIT (rough/moments use the unweighted base
+    # stats over different sample sets, R/core.R:709-728) and (b) the
+    # line search's lp-change<tol stopping rule, which lands within
+    # ~sqrt(2*tol/|d2lp|) ~ 1e-3 of the optimum along a path set by the
+    # init — both runs wander independently, so up to ~2e-3 apart.  The
+    # same mechanism bounds the reference; its 1e-3 is stream luck.
     assert dds2.row_data["dispGeneEst"][0] == pytest.approx(
         dds3.row_data["dispGeneEst"][0], rel=2e-3)
     assert dds.row_data["dispMAP"][0] > dds2.row_data["dispMAP"][0]
+
+
+def test_weighted_cr_surface_identity():
+    """weight=0 == drop-sample is EXACT for the dispersion posterior at
+    matched mu: the masked batched Cox-Reid term (row mask + dropped
+    zero columns + unit-diagonal padding, ops/disp.py:make_cr_masks)
+    reproduces the reference's per-gene row-subset/col-drop determinant
+    (src/DESeq2.cpp:38-44) bit-for-bit."""
+    import jax.numpy as jnp
+    from deseq2_tpu.ops.disp import (dlog_posterior, log_posterior,
+                                     make_cr_masks)
+    dds = dt.make_example_dataset(n=10, seed=1)
+    dds.counts[0, 0] = 100
+    S = dds.n_samples
+    x, _ = dds.model_matrix()
+    y = dds.counts[0:1].astype(float)
+    w = np.ones((1, S))
+    w[0, 0] = 0.0
+    mu = np.full((1, S), 22.8)
+    rm, cm = make_cr_masks(jnp.asarray(x), jnp.asarray(w), 1e-2, True)
+    for la in (-3.0, -2.1, -1.5, 0.0, 2.0):
+        laj = jnp.full(1, float(la))
+        args_w = dict(weights=jnp.asarray(w), use_weights=True,
+                      row_mask=rm, col_mask=cm)
+        lp_w = log_posterior(laj, jnp.asarray(y), jnp.asarray(mu),
+                             jnp.asarray(x), jnp.zeros(1),
+                             jnp.asarray(1.0), False, **args_w)
+        lp_d = log_posterior(laj, jnp.asarray(y[:, 1:]),
+                             jnp.asarray(mu[:, 1:]), jnp.asarray(x[1:]),
+                             jnp.zeros(1), jnp.asarray(1.0), False)
+        dl_w = dlog_posterior(laj, jnp.asarray(y), jnp.asarray(mu),
+                              jnp.asarray(x), jnp.zeros(1),
+                              jnp.asarray(1.0), False, **args_w)
+        dl_d = dlog_posterior(laj, jnp.asarray(y[:, 1:]),
+                              jnp.asarray(mu[:, 1:]), jnp.asarray(x[1:]),
+                              jnp.zeros(1), jnp.asarray(1.0), False)
+        assert float(lp_w[0]) == pytest.approx(float(lp_d[0]), rel=1e-14)
+        assert float(dl_w[0]) == pytest.approx(float(dl_d[0]), rel=1e-12,
+                                               abs=1e-12)
 
 
 # test_weights.R:86-98 — failing weights warn and flag the row
