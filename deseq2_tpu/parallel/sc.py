@@ -745,16 +745,29 @@ def _sc_trend_and_prior(base_mean, disp_gene_est, all_zero, S, p, min_disp,
                                                    base_mean)
     elif fit_type == "glmGamPoi":
         from ..gampoi import make_closest_index_disp_fn
-        bm = np.asarray(base_mean, np.float64)
-        dge = np.asarray(disp_gene_est, np.float64)
-        az = np.asarray(all_zero, bool)
+        # ONE batched device->host fetch (per-array np.asarray over the
+        # device tunnel serializes ~0.1-0.5 s of latency each)
+        host = jax.device_get(dict(bm=base_mean, dge=disp_gene_est,
+                                   az=all_zero))
+        bm = np.asarray(host["bm"], np.float64)
+        dge = np.asarray(host["dge"], np.float64)
+        az = np.asarray(host["az"], bool)
         use = (dge > 100 * min_disp) & ~az
         medians = _loc_median_fit_fast(bm[use], dge[use])
         fn = make_closest_index_disp_fn(bm[use], medians)
         fit = np.ones_like(bm)
         fit[~az] = fn(bm[~az])
         coefs = None
-        disp_fit = jnp.asarray(fit, dtype)
+        # host MAD (same semantics as the device _masked_median path)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            resid_h = np.where(az, np.nan, np.log(dge) - np.log(fit))
+        med_h = np.nanmedian(resid_h)
+        vld = (1.4826 * np.nanmedian(np.abs(resid_h - med_h))) ** 2
+        from scipy.special import polygamma as spolygamma
+        dpv = max(vld - float(spolygamma(1, (S - p) / 2.0)), 0.25)
+        return (jnp.asarray(fit, dtype), None,
+                jnp.asarray(vld, dtype), jnp.asarray(dpv, dtype),
+                dict(bm=bm, dge=dge, az=az, fit=fit))
     else:
         raise ValueError("fused_sc_results supports fit_type='parametric' "
                          "or 'glmGamPoi'")
@@ -765,7 +778,7 @@ def _sc_trend_and_prior(base_mean, disp_gene_est, all_zero, S, p, min_disp,
                                             ~all_zero)) ** 2
     exp_var = polygamma(1, (S - p) / 2.0).astype(dtype)
     disp_prior_var = jnp.maximum(var_log_disp - exp_var, 0.25)
-    return disp_fit, coefs, var_log_disp, disp_prior_var
+    return disp_fit, coefs, var_log_disp, disp_prior_var, None
 
 
 def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
@@ -835,8 +848,9 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
     base_mean, base_var = st1["base_mean"], st1["base_var"]
     all_zero, dge = st1["all_zero"], st1["disp_gene_est"]
 
-    disp_fit, coefs, var_log_disp, disp_prior_var = _sc_trend_and_prior(
-        base_mean, dge, all_zero, S, p, min_disp, fit_type)
+    disp_fit, coefs, var_log_disp, disp_prior_var, host = \
+        _sc_trend_and_prior(base_mean, dge, all_zero, S, p, min_disp,
+                            fit_type)
 
     out = dict(trendCoefs=coefs, dispPriorVar=disp_prior_var,
                varLogDispEsts=var_log_disp)
@@ -846,14 +860,13 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
 
     ql = None
     if fit_type == "glmGamPoi":
-        # QL shrinkage on host (G-vector ops; R/core.R:1064-1096)
+        # QL shrinkage on host (G-vector ops; R/core.R:1064-1096),
+        # reusing the single batched fetch from the trend stage
         from ..gampoi import overdispersion_shrinkage, ql_to_nb_alpha
-        bm = np.asarray(base_mean, np.float64)
-        az = np.asarray(all_zero, bool)
+        bm, az, fitv = host["bm"], host["az"], host["fit"]
         nzm = ~az
-        fitv = np.asarray(disp_fit, np.float64)
         shrink = overdispersion_shrinkage(
-            np.asarray(dge, np.float64)[nzm], bm[nzm], S - p, fitv[nzm])
+            host["dge"][nzm], bm[nzm], S - p, fitv[nzm])
         disp_map_nz = ql_to_nb_alpha(shrink["ql_disp_shrunken"], bm[nzm],
                                      fitv[nzm], min_disp, max_disp)
         disp_map = np.ones(padded_G)
@@ -895,11 +908,13 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
 
     if lrt:
         if ql_mode:
-            # quasi-likelihood F-test on host (G scalars)
+            # quasi-likelihood F-test on host (G scalars, one fetch)
             from ..gampoi import ql_f_test
-            nzm = ~np.asarray(all_zero, bool)
-            llf = np.asarray(glm["ll_full"], np.float64)
-            llr = np.asarray(glm["ll_reduced"], np.float64)
+            lls = jax.device_get(dict(f=glm["ll_full"],
+                                      r=glm["ll_reduced"]))
+            nzm = ~host["az"]
+            llf = np.asarray(lls["f"], np.float64)
+            llr = np.asarray(lls["r"], np.float64)
             qlmap = out["qlDispMAP"]
             f_stat = np.full(padded_G, np.nan)
             pval = np.full(padded_G, np.nan)
@@ -965,9 +980,13 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
         out["pvalueMatrix"] = jnp.where(all_zero[:, None], jnp.nan,
                                         pval_full)
 
+    # ONE batched device_get for all result columns (per-array fetches
+    # over the device tunnel serialize a dozen round-trip latencies)
+    fetched = jax.device_get({k: v for k, v in out.items()
+                              if hasattr(v, "shape")})
     res = {}
     for k, v in out.items():
-        a = np.asarray(jax.device_get(v)) if hasattr(v, "shape") else v
+        a = np.asarray(fetched[k]) if k in fetched else v
         if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == padded_G \
                 and padded_G != G:
             a = a[:G]
@@ -994,8 +1013,9 @@ def fused_sc_pipeline(counts, cells, size_factors, grid, n_groups,
     st1 = _sc_stage1(counts, cells, size_factors, grid_d, **kw)
     base_mean, base_var = st1["base_mean"], st1["base_var"]
     all_zero, dge = st1["all_zero"], st1["disp_gene_est"]
-    disp_fit, coefs, var_log_disp, disp_prior_var = _sc_trend_and_prior(
-        base_mean, dge, all_zero, S, p, min_disp, "parametric")
+    disp_fit, coefs, var_log_disp, disp_prior_var, _ = \
+        _sc_trend_and_prior(base_mean, dge, all_zero, S, p, min_disp,
+                            "parametric")
     disp_map = _sc_stage_map(counts, cells, size_factors, grid_d,
                              st1["q"], all_zero, dge, disp_fit,
                              disp_prior_var, **kw)
