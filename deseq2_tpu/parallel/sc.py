@@ -228,29 +228,51 @@ def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
         return body
 
     from ..ops.padding import compact_live_indices
-    cap = min(1 << (max(G // 8, 512) - 1).bit_length(), G)
+    # cascading straggler compaction (the convergence profile has a
+    # long tail: ~half the genes finish in the first few sweeps, so a
+    # G/2 buffer already halves sweep cost early; identical lockstep
+    # semantics — gather -> same body -> scatter, see ops/padding.py)
+    caps = []
+    prev = G
+    for frac in (2, 8, 32):
+        c = min(1 << (max(G // frac, 512) - 1).bit_length(), G)
+        if c * 2 <= prev:
+            caps.append(c)
+            prev = c
+
+    def run_phase(s_, body_, stop_at):
+        if stop_at is None:
+            return jax.lax.while_loop(
+                lambda st: (st[0] < maxit) & (jnp.max(1.0 - st[7]) > 0.5),
+                body_, s_)
+        return jax.lax.while_loop(
+            lambda st: (st[0] < maxit) &
+            (jnp.sum(1.0 - st[7]) > stop_at), body_, s_)
+
     body_full = make_body(lp_dlp, pm, pv)
-    if cap * 2 >= G:
-        s = jax.lax.while_loop(
-            lambda s: (s[0] < maxit) & (jnp.max(1.0 - s[7]) > 0.5),
-            body_full, state)
+    if not caps:
+        s = run_phase(state, body_full, None)
     else:
-        s = jax.lax.while_loop(
-            lambda s: (s[0] < maxit) &
-            (jnp.sum(1.0 - s[7]) > cap), body_full, state)
-        live = s[7] < 0.5
-        idx = compact_live_indices(live, cap)
-        q_c = q_mu[idx]
-        pm_c = pm[idx] if jnp.ndim(pm) else pm
-        sub = (s[0],) + tuple(v[idx] for v in s[1:])
-        body_sub = make_body(
-            _make_lp_dlp(env, counts_p, q_c, min_mu, dtype, idx), pm_c, pv)
-        sub = jax.lax.while_loop(
-            lambda s_: (s_[0] < maxit) &
-            (jnp.max(1.0 - s_[7]) > 0.5), body_sub, sub)
-        s = (sub[0],) + tuple(
-            full.at[idx].set(part)
-            for full, part in zip(s[1:], sub[1:]))
+        outer = []
+        s = run_phase(state, body_full, caps[0])
+        abs_idx = None
+        for ci, cap in enumerate(caps):
+            live = s[7] < 0.5
+            loc = compact_live_indices(live, cap)
+            abs_new = loc if abs_idx is None else abs_idx[loc]
+            outer.append((s, loc))
+            s = (s[0],) + tuple(v[loc] for v in s[1:])
+            abs_idx = abs_new
+            pm_c = pm[abs_idx] if jnp.ndim(pm) else pm
+            body_sub = make_body(
+                _make_lp_dlp(env, counts_p, q_mu[abs_idx], min_mu, dtype,
+                             abs_idx), pm_c, pv)
+            nxt = caps[ci + 1] if ci + 1 < len(caps) else None
+            s = run_phase(s, body_sub, nxt)
+        for ostate, loc in reversed(outer):
+            s = (s[0],) + tuple(
+                full.at[loc].set(part)
+                for full, part in zip(ostate[1:], s[1:]))
     return dict(log_alpha=s[1], last_lp=s[3], initial_lp=lp0,
                 iter=s[5])
 
@@ -498,22 +520,10 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
         y_alpha = jnp.where(all_zero_l, 1.0, alpha_l)
         size = 1.0 / y_alpha
 
-        def dev_const_body(acc, xc):
-            i_c, v_c = xc
-            y_f = _chunk_of(counts_p, i_c, chunk).astype(dtype)
-            acc += jnp.sum(v_c[None, :] * (gammaln(y_f + size[:, None])
-                                           - gammaln(y_f + 1.0)), axis=1)
-            return acc, None
-
-        dc, _ = jax.lax.scan(dev_const_body, z_g,
-                             (env["idxs"], env["vs"]))
-        dev_const = -2.0 * (dc + n_valid * (size * jnp.log(size)
-                                            - gammaln(size)))
-
         eps = jnp.finfo(dtype).eps
         beta_tol = jnp.maximum(1e-8, 30.0 * eps)
 
-        def make_irls(dcl, row_idx):
+        def make_irls(dcl, row_idx, with_const=False):
             """IRLS closures for the full batch (row_idx=None) or a
             compacted straggler block.
 
@@ -524,12 +534,14 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
             normal equations producing beta_{k+1}.  The two-sweep
             formulation (A,r at beta; then deviance at beta_new) reads
             the counts from HBM twice per iteration for the same
-            numbers."""
+            numbers.  with_const=True additionally accumulates the
+            beta-independent lgamma deviance constant in the same sweep
+            (saves the separate dev_const pass)."""
             d_size, d_alpha, d_devc = dcl
 
             def irls_pass(beta):
                 def body(carry, xc):
-                    A, r, dev = carry
+                    A, r, dev, dc = carry
                     i_c, sf_c, v_c, x_c, xx_c = xc
                     y_blk = _chunk_of(counts_p, i_c, chunk)
                     if row_idx is not None:
@@ -548,15 +560,21 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
                     dev += -2.0 * jnp.sum(v_c[None, :] * (
                         -d_size[:, None] * jnp.log(d_size[:, None] + mu)
                         + t), axis=1)
-                    return (A, r, dev), None
+                    if with_const:
+                        dc += jnp.sum(v_c[None, :] * (
+                            gammaln(y_f + d_size[:, None])
+                            - gammaln(y_f + 1.0)), axis=1)
+                    return (A, r, dev, dc), None
 
                 g_b = beta.shape[0]
-                (A, r, dev), _ = jax.lax.scan(
+                (A, r, dev, dc), _ = jax.lax.scan(
                     body, (jnp.zeros((g_b, p * p), dtype),
                            jnp.zeros((g_b, p), dtype),
-                           jnp.zeros(g_b, dtype)),
+                           jnp.zeros(g_b, dtype), jnp.zeros(g_b, dtype)),
                     (env["idxs"], env["sfs"], env["vs"], env["xs"],
                      env["xxs"]))
+                if with_const:
+                    return A.reshape(g_b, p, p), r, dev, dc
                 return A.reshape(g_b, p, p), r, d_devc + dev
 
             def body(s):
@@ -588,18 +606,37 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
                 return (k + 1, beta_prev_out, beta, dev_prev, iters,
                         dev_out, A_out, active_next.astype(dtype))
 
-            return body
+            return irls_pass, body
 
         def irls_cond(s):
             return (s[0] <= maxit) & (jnp.max(s[7]) > 0.5)
 
         from ..ops.padding import compact_live_indices
         cap = min(1 << (max(g_loc // 8, 512) - 1).bit_length(), g_loc)
+
+        # ---- sweep 0 outside the loop, fused with the deviance
+        # constant (no convergence test at k=0 anyway) ----
+        pass0, _ = make_irls((size, y_alpha, None), None, with_const=True)
+        A0, r0, dev0_core, dc = pass0(beta0)
+        dev_const = -2.0 * (dc + n_valid * (size * jnp.log(size)
+                                            - gammaln(size)))
+        dev0 = dev_const + dev0_core
+        # same k=0 bookkeeping the loop body would do: no convergence
+        # test, NaN deviance -> iter=maxit and keep beta0, otherwise
+        # solve and count it, divergence stamps maxit
+        bad0 = jnp.isnan(dev0)
+        beta1 = jnp.linalg.solve(A0 + ridge[None], r0[..., None])[..., 0]
+        div0 = jnp.max(jnp.abs(beta1), axis=1) > 30.0
+        solve0 = ~bad0
+        beta_a = jnp.where(solve0[:, None], beta1, beta0)
+        iters0 = solve0.astype(jnp.int32)
+        iters0 = jnp.where(bad0 | (solve0 & div0), maxit, iters0)
+        active0 = (solve0 & ~div0).astype(dtype)
+        state = (jnp.asarray(1, jnp.int32), beta0, beta_a, dev0,
+                 iters0, dev0, A0, active0)
+
         data_full = (size, y_alpha, dev_const)
-        state = (jnp.asarray(0, jnp.int32), beta0, beta0, z_g,
-                 jnp.zeros(g_loc, jnp.int32), z_g,
-                 jnp.zeros((g_loc, p, p), dtype), jnp.ones(g_loc, dtype))
-        body_full = make_irls(data_full, None)
+        _, body_full = make_irls(data_full, None)
         if cap * 2 >= g_loc:
             state = jax.lax.while_loop(irls_cond, body_full, state)
         else:
@@ -609,7 +646,8 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
             live = state[7] > 0.5
             idx = compact_live_indices(live, cap)
             sub = (state[0],) + tuple(v[idx] for v in state[1:])
-            body_sub = make_irls(tuple(v[idx] for v in data_full), idx)
+            _, body_sub = make_irls(tuple(v[idx] for v in data_full),
+                                    idx)
             sub = jax.lax.while_loop(irls_cond, body_sub, sub)
             state = (sub[0],) + tuple(
                 full.at[idx].set(part)
