@@ -155,6 +155,72 @@ def accuracy_gate():
     return gate
 
 
+_SC_GATE_WORKER = r"""
+import json, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+from bench import _sc_gate_inputs
+counts, cells, sf = _sc_gate_inputs({g}, {s})
+from deseq2_tpu.parallel.sc import fused_sc_results
+out = fused_sc_results(counts, cells, sf, n_groups=2, test="LRT",
+                       fit_type="glmGamPoi")
+np.savez({out!r}, lfc=out["log2FoldChange"], p=out["pvalue"],
+         padj=out["padj"])
+"""
+
+
+def _sc_gate_inputs(g, s, seed=0):
+    """Small SC-shaped fixture shared by the chip and CPU gate runs."""
+    rng = np.random.default_rng(seed)
+    cells = (np.arange(s) % 2).astype(np.int32)
+    mu0 = np.maximum(2.0 ** rng.normal(-1.0, 2.0, g), 0.01)
+    disp = np.minimum(4.0 / mu0 + 0.3, 20.0)
+    size = 1.0 / disp[:, None]
+    mu = mu0[:, None] * np.ones((1, s))
+    counts = rng.negative_binomial(size, size / (size + mu)).astype(
+        np.int32)
+    return counts, cells, np.ones(s)
+
+
+def sc_accuracy_gate(g=2048, s=4096):
+    """f32 chip streamed-QL vs f64 CPU streamed-QL on a small slice."""
+    from deseq2_tpu.parallel.sc import fused_sc_results
+
+    counts, cells, sf = _sc_gate_inputs(g, s)
+    out32 = fused_sc_results(counts, cells, sf, n_groups=2, test="LRT",
+                             fit_type="glmGamPoi")
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "f64.npz")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        code = _SC_GATE_WORKER.format(repo=repo, g=g, s=s, out=path)
+        env = {k: v for k, v in os.environ.items()
+               if k != "PALLAS_AXON_POOL_IPS"}
+        env.update(JAX_PLATFORMS="cpu", DESEQ2_TPU_X64="1")
+        subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                       cwd=repo)
+        f64 = np.load(path)
+    lfc32 = np.asarray(out32["log2FoldChange"], np.float64)
+    p32 = np.asarray(out32["pvalue"], np.float64)
+    both = np.isfinite(lfc32) & np.isfinite(f64["lfc"])
+    d_lfc = float(np.max(np.abs(lfc32[both] - f64["lfc"][both])))
+    pb = np.isfinite(p32) & np.isfinite(f64["p"])
+    l32 = np.log10(np.maximum(p32[pb], 1e-30))
+    l64 = np.log10(np.maximum(f64["p"][pb], 1e-30))
+    # scale-aware: a few-percent f32 jitter on a large F statistic moves
+    # log10(p) proportionally to its magnitude, so bound the EXCESS over
+    # 15% of |log10 p| (catches catastrophic divergence, tolerates
+    # proportional tail noise)
+    excess = float(np.max(np.abs(l32 - l64) - 0.15 * np.abs(l64)))
+    gate = dict(sc_gate_genes=g, sc_gate_cells=s,
+                sc_gate_max_dlfc=round(d_lfc, 6),
+                sc_gate_max_dlog10p=round(float(np.max(np.abs(l32 - l64))),
+                                          4),
+                sc_gate_logp_excess=round(excess, 4))
+    assert d_lfc < 0.02, f"SC f32 log2FC drifted from f64: {gate}"
+    assert excess < 0.5, f"SC f32 p-values drifted from f64: {gate}"
+    return gate
+
+
 def main_sc():
     """Single-cell config (BASELINE #5): BENCH_SC=1, 30k genes x 50k
     cells by default.  Streams the sample axis (parallel/sc.py)."""
@@ -162,6 +228,10 @@ def main_sc():
     import jax.numpy as jnp
 
     from deseq2_tpu.parallel.sc import fused_sc_results
+
+    gate = None
+    if os.environ.get("BENCH_SKIP_GATE") != "1":
+        gate = sc_accuracy_gate()
 
     Gs = int(os.environ.get("BENCH_GENES", 30000))
     Ss = int(os.environ.get("BENCH_SAMPLES", 50000))
@@ -225,12 +295,15 @@ def main_sc():
     dt = time.perf_counter() - t0
     assert np.isfinite(stat).mean() > 0.9
     assert np.isfinite(padj).any()
-    print(json.dumps({
+    line = {
         "metric": f"deseq_sc_ql_genes_per_sec_{Gs}x{Ss}",
         "value": round(Gs / dt, 1), "unit": "genes/s/chip",
         "vs_baseline": round(Gs / dt / baseline_genes_per_sec(Ss), 2),
         "baseline_extrapolated": True,
-    }))
+    }
+    if gate is not None:
+        line.update(gate)
+    print(json.dumps(line))
 
 
 def main():

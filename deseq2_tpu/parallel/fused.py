@@ -258,13 +258,19 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
     def nb_loglik(y_loc, mu, alpha_vec):
         """Row NB log-likelihood at unclamped mu (nbinomLogLike,
-        R/core.R:2208-2230, weights-free path)."""
+        R/core.R:2208-2230, weights-free path).
+
+        Stable difference form D(y,size) - lgamma(y+1) + y*log(mu)
+        - (y+size)*log1p(mu*alpha): identical value, no catastrophic
+        f32 cancellation when a gene's dispersion sits at min_disp
+        (size = 1e8 absorbs y in gammaln(y+size))."""
+        from ..ops.nb import lgamma_diff_centered
         size = 1.0 / alpha_vec[:, None]
-        t = jnp.where(y_loc > 0.0,
-                      y_loc * jnp.log(mu / (size + mu)), 0.0)
-        return jnp.sum(gammaln(y_loc + size) - gammaln(size)
-                       - gammaln(y_loc + 1.0)
-                       + size * jnp.log(size / (size + mu)) + t, axis=1)
+        t = jnp.where(y_loc > 0.0, y_loc * jnp.log(mu), 0.0)
+        return jnp.sum(lgamma_diff_centered(y_loc, size)
+                       - gammaln(y_loc + 1.0) + t
+                       - (y_loc + size)
+                       * jnp.log1p(mu * alpha_vec[:, None]), axis=1)
 
     # ======== per-gene chains (shard-local: no collectives inside) ========
 

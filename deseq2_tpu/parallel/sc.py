@@ -553,16 +553,19 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
                     z = jnp.log(mu / sf_c[None, :]) + (y_f - mu) / mu
                     A += jnp.dot(w, xx_c, preferred_element_type=dtype)
                     r += jnp.dot(w * z, x_c, preferred_element_type=dtype)
-                    t = jnp.where(y_f > 0.0,
-                                  y_f * (jnp.log(mu)
-                                         - jnp.log(d_size[:, None] + mu)),
-                                  0.0)
+                    # stable difference form of the NB deviance:
+                    # ll_s = D(y,size) - lgamma(y+1) + y*log(mu)
+                    #        - (y+size)*log1p(mu*alpha)
+                    # (identical value to cpp:365-382's expression; the
+                    # direct gammaln(y+size) form cancels
+                    # catastrophically in f32 at size = 1/alpha >> y)
+                    t = jnp.where(y_f > 0.0, y_f * jnp.log(mu), 0.0)
+                    l1p = jnp.log1p(mu * d_alpha[:, None])
                     dev += -2.0 * jnp.sum(v_c[None, :] * (
-                        -d_size[:, None] * jnp.log(d_size[:, None] + mu)
-                        + t), axis=1)
+                        t - (y_f + d_size[:, None]) * l1p), axis=1)
                     if with_const:
                         dc += jnp.sum(v_c[None, :] * (
-                            gammaln(y_f + d_size[:, None])
+                            lgamma_diff_centered(y_f, d_size[:, None])
                             - gammaln(y_f + 1.0)), axis=1)
                     return (A, r, dev, dc), None
 
@@ -618,8 +621,9 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
         # constant (no convergence test at k=0 anyway) ----
         pass0, _ = make_irls((size, y_alpha, None), None, with_const=True)
         A0, r0, dev0_core, dc = pass0(beta0)
-        dev_const = -2.0 * (dc + n_valid * (size * jnp.log(size)
-                                            - gammaln(size)))
+        # in the stable regrouping the n*size*log(size) and
+        # n*gammaln(size) terms cancel into the per-sample differences
+        dev_const = -2.0 * dc
         dev0 = dev_const + dev0_core
         # same k=0 bookkeeping the loop body would do: no convergence
         # test, NaN deviance -> iter=maxit and keep beta0, otherwise
@@ -670,40 +674,41 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
             # (nbinomLogLike, R/core.R:2208-2230); gathered per gene in
             # one streamed pass (mu_reduced = baseMean*sf is the
             # intercept closed form, R/fitNbinomGLMs.R:99-137)
-            szf = 1.0 / jnp.where(all_zero_l, 1.0, llaf_l)
-            szr = 1.0 / jnp.where(all_zero_l, 1.0, llar_l)
+            af = jnp.where(all_zero_l, 1.0, llaf_l)
+            ar = jnp.where(all_zero_l, 1.0, llar_l)
+            szf, szr = 1.0 / af, 1.0 / ar
 
             def ll_body(acc, xc):
                 ll_f, ll_r = acc
                 i_c, sf_c, cl_c, v_c, x_c = xc
                 y_f = _chunk_of(counts_p, i_c, chunk).astype(dtype)
 
-                def row_ll(mu, inv_a):
-                    com = (gammaln(y_f + inv_a[:, None])
-                           - gammaln(y_f + 1.0))
-                    t = jnp.where(y_f > 0.0,
-                                  y_f * jnp.log(mu / (inv_a[:, None] + mu)),
-                                  0.0)
+                def row_ll(mu, inv_a, alp):
+                    # stable difference form (same derivation as the
+                    # deviance above): the final dispersion can sit at
+                    # min_disp so 1/alpha reaches 1e8 and the direct
+                    # gammaln(y+size) form destroys the QL F statistic
+                    # in f32
+                    t = jnp.where(y_f > 0.0, y_f * jnp.log(mu), 0.0)
                     return jnp.sum(v_c[None, :] * (
-                        com + inv_a[:, None] *
-                        jnp.log(inv_a[:, None] / (inv_a[:, None] + mu))
-                        + t), axis=1)
+                        lgamma_diff_centered(y_f, inv_a[:, None])
+                        - gammaln(y_f + 1.0) + t
+                        - (y_f + inv_a[:, None])
+                        * jnp.log1p(mu * alp[:, None])), axis=1)
 
                 mu_f = sf_c[None, :] * jnp.exp(beta @ x_c.T)
                 mu_f = jnp.where(v_c[None, :] > 0, mu_f, 1.0)
-                ll_f += row_ll(mu_f, szf)
+                ll_f += row_ll(mu_f, szf, af)
                 if with_reduced:
                     mu_r = base_mean_l[:, None] * sf_c[None, :]
                     mu_r = jnp.where(v_c[None, :] > 0,
                                      jnp.where(all_zero_l[:, None], 1.0,
                                                mu_r), 1.0)
-                    ll_r += row_ll(mu_r, szr)
+                    ll_r += row_ll(mu_r, szr, ar)
                 return (ll_f, ll_r), None
 
-            # the -gammaln(size) term is shared by every valid sample
             (ll_full, ll_red), _ = jax.lax.scan(
-                ll_body, (-n_valid * gammaln(szf),
-                          -n_valid * gammaln(szr)),
+                ll_body, (z_g, z_g),
                 (env["idxs"], env["sfs"], env["cls"], env["vs"],
                  env["xs"]))
             out["ll_full"] = ll_full
