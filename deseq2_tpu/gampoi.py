@@ -201,10 +201,15 @@ def squeeze_var(s2, df1, s20, df0):
     return (df0 * np.asarray(s20) + df1 * s2) / (df0 + df1)
 
 
-def overdispersion_shrinkage(disp_est, gene_means, df, disp_trend):
+def overdispersion_shrinkage(disp_est, gene_means, df, disp_trend,
+                             loc_median=None):
     """Quasi-likelihood dispersion shrinkage
     (glmGamPoi::overdispersion_shrinkage contract as consumed by the
     reference at R/core.R:1064-1096).
+
+    `loc_median`: optional replacement sliding-median implementation
+    (the streamed single-cell path passes the device-sorted variant —
+    at 30k genes the host window loop is ~10 s of a ~15 s pipeline).
 
     Returns dict(ql_disp_estimate, ql_disp_trend, ql_disp_shrunken,
     ql_df0)."""
@@ -215,7 +220,7 @@ def overdispersion_shrinkage(disp_est, gene_means, df, disp_trend):
     # per-gene NB variance ratio vs the trend (see module docstring)
     ql_disp_estimate = (1.0 + m * disp_est) / (1.0 + m * disp_trend)
     # QL trend over mean-sorted genes
-    ql_disp_trend = loc_median_fit(m, ql_disp_estimate)
+    ql_disp_trend = (loc_median or loc_median_fit)(m, ql_disp_estimate)
     ql_disp_trend = np.maximum(ql_disp_trend, 1e-8)
     # empirical-Bayes squeeze of the ratio toward the trend
     s20, df0 = fit_f_dist(ql_disp_estimate, df1=max(df, 1),

@@ -909,7 +909,8 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
         bm, az, fitv = host["bm"], host["az"], host["fit"]
         nzm = ~az
         shrink = overdispersion_shrinkage(
-            host["dge"][nzm], bm[nzm], S - p, fitv[nzm])
+            host["dge"][nzm], bm[nzm], S - p, fitv[nzm],
+            loc_median=_loc_median_fit_fast)
         disp_map_nz = ql_to_nb_alpha(shrink["ql_disp_shrunken"], bm[nzm],
                                      fitv[nzm], min_disp, max_disp)
         disp_map = np.ones(padded_G)
