@@ -18,9 +18,14 @@ import jax
 import jax.numpy as jnp
 
 
-def quantile_type7(sorted_v, q):
-    """R type-7 quantile of a pre-sorted vector at probabilities q."""
-    n = sorted_v.shape[0]
+def quantile_type7(sorted_v, q, n=None):
+    """R type-7 quantile of a pre-sorted vector at probabilities q.
+
+    `n`: number of REAL entries (static); entries past it are padding
+    sorted to the end (+inf) and excluded — gene-axis padding under a
+    device mesh must not shift the quantiles."""
+    if n is None:
+        n = sorted_v.shape[0]
     h = (n - 1) * q
     lo = jnp.clip(jnp.floor(h).astype(jnp.int32), 0, n - 1)
     hi = jnp.clip(lo + 1, 0, n - 1)
@@ -28,23 +33,37 @@ def quantile_type7(sorted_v, q):
     return sorted_v[lo] + frac * (sorted_v[hi] - sorted_v[lo])
 
 
-def theta_grid_dev(filter_stat, n_theta=50):
-    """Default theta grid (reference R/results.R:645-649)."""
-    lower = jnp.mean((filter_stat == 0).astype(filter_stat.dtype))
+def theta_grid_dev(filter_stat, n_theta=50, valid_genes=None):
+    """Default theta grid (reference R/results.R:645-649).
+
+    `valid_genes`: static count of real genes when the array carries
+    mesh padding rows (which look like all-zero genes and would
+    otherwise inflate the zero share)."""
+    G = filter_stat.shape[0]
+    nv = G if valid_genes is None else valid_genes
+    real = jnp.arange(G) < nv
+    lower = jnp.sum(((filter_stat == 0) & real).astype(
+        filter_stat.dtype)) / nv
     upper = jnp.where(lower < 0.95, 0.95, 1.0).astype(filter_stat.dtype)
     t = jnp.arange(n_theta, dtype=filter_stat.dtype) / (n_theta - 1)
     return lower + (upper - lower) * t
 
 
-def filtered_bh_dev(pvalue, filter_stat, theta, alpha):
+def filtered_bh_dev(pvalue, filter_stat, theta, alpha, valid_genes=None):
     """(filter_padj (T,G), num_rej (T,), cutoffs (T,)) on device.
 
     For each theta: cutoff = type-7 quantile of filter_stat; BH over the
     genes with filter_stat >= cutoff and finite p (NaN p stays NaN, as
-    R's p.adjust keeps NA)."""
+    R's p.adjust keeps NA).  `valid_genes` excludes mesh padding rows
+    from the quantiles (their p is NaN so BH already ignores them)."""
     G = pvalue.shape[0]
     dtype = pvalue.dtype
-    cutoffs = quantile_type7(jnp.sort(filter_stat), theta)
+    if valid_genes is None or valid_genes == G:
+        cutoffs = quantile_type7(jnp.sort(filter_stat), theta)
+    else:
+        real = jnp.arange(G) < valid_genes
+        fs = jnp.where(real, filter_stat, jnp.inf)
+        cutoffs = quantile_type7(jnp.sort(fs), theta, n=valid_genes)
 
     finite = ~jnp.isnan(pvalue)
     pv = jnp.where(finite, pvalue, jnp.inf)

@@ -167,13 +167,14 @@ def _bh_adjust(p, valid):
 @partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "mesh", "cells",
                                    "two_group", "min_replicates", "alpha",
                                    "reduced_intercept", "linear_mu",
-                                   "beta_prior", "contrast", "use_t"))
+                                   "beta_prior", "contrast", "use_t",
+                                   "valid_genes"))
 def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         min_disp_pow=-8, mesh=None, cells=None,
                         two_group=False, min_replicates=7, alpha=0.1,
                         x_reduced=None, reduced_intercept=False,
                         linear_mu=True, beta_prior=False, contrast=None,
-                        use_t=False):
+                        use_t=False, valid_genes=None):
     """counts: (G,S) int; x: (S,p); size_factors: (S,); grid: (20,) log
     alpha grid.  Returns per-gene results dict (log2 scale LFC/SE/stat/p,
     plus dispersions and diagnostics).
@@ -862,9 +863,10 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     padj_last = _bh_adjust(p_last, ~jnp.isnan(p_last))
 
     from .filterdev import filtered_bh_dev, theta_grid_dev
-    theta = theta_grid_dev(base_mean)
+    theta = theta_grid_dev(base_mean, valid_genes=valid_genes)
     filter_padj, num_rej, cutoffs = filtered_bh_dev(
-        p_last, base_mean, theta, jnp.asarray(alpha, dtype))
+        p_last, base_mean, theta, jnp.asarray(alpha, dtype),
+        valid_genes=valid_genes)
 
     nanmask = lambda v: jnp.where(all_zero, jnp.nan, v)
     out.update(
@@ -919,6 +921,8 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                       min_disp=1e-8, cells=None, two_group=False,
                       alpha=0.1, reduced=None, beta_prior=False,
                       contrast=None, use_t=False):
+    # (gene padding to the device count is masked out of the filtering
+    # quantiles via valid_genes)
     """Run the fused pipeline with the genes axis sharded over `mesh`."""
     import numpy as np
     from .sharding import pad_to_multiple, replicated, shard_genes
@@ -943,7 +947,9 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                               cells=cells, two_group=two_group, alpha=alpha,
                               x_reduced=x_red, reduced_intercept=red_int,
                               linear_mu=lin_mu, beta_prior=beta_prior,
-                              contrast=contrast, use_t=use_t)
+                              contrast=contrast, use_t=use_t,
+                              valid_genes=G if counts_p.shape[0] != G
+                              else None)
     return {k: np.asarray(v)[:G] if np.ndim(v) and np.shape(v)[0] ==
             counts_p.shape[0] else np.asarray(v) for k, v in out.items()}
 
@@ -1017,7 +1023,8 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                                     cutoffs=out["filterCutoffs"]))
         num_rej, theta = small["num_rej"], small["theta"]
         j, lx, lo_y = choose_filter_theta(theta, num_rej)
-        cols["padj"] = out["filterPadj"][j]
+        # filterPadj is (n_theta, padded_G): strip mesh gene padding
+        cols["padj"] = out["filterPadj"][j][:np.shape(counts)[0]]
         res = jax.device_get(cols)
         res["filterThreshold"] = float(small["cutoffs"][j])
         res["filterTheta"] = float(theta[j])

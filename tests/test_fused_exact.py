@@ -234,3 +234,23 @@ def test_fused_beta_prior_contrast_matches_host():
     _cmp(res["lfcSE"], fres["lfcSE"], "bp contrast SE")
     _cmp(res["stat"], fres["stat"], "bp contrast stat")
     _cmp(res["pvalue"], fres["pvalue"], "bp contrast pvalue")
+
+
+def test_fused_contrast_sharded_matches_single():
+    """fused contrast under an 8-device gene mesh == single-device."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from deseq2_tpu.parallel.sharding import gene_mesh
+    dds = dt.make_example_dataset(n=201, m=12, beta_sd=1.0, seed=27)
+    cond = dt.Factor(np.repeat(["A", "B", "C"], 4), levels=["A", "B", "C"])
+    dds.col_data["condition"] = cond
+    dds = dt.estimate_size_factors(dds)
+    x, _ = dds.model_matrix()
+    c = np.array([0.0, 1.0, -1.0])
+    one = fused_results(np.asarray(dds.counts), x, dds.size_factors,
+                        contrast=c, use_t=True)
+    shd = fused_results(np.asarray(dds.counts), x, dds.size_factors,
+                        contrast=c, use_t=True, mesh=gene_mesh(8))
+    for k in ("log2FoldChange", "lfcSE", "stat", "pvalue", "padj"):
+        _cmp(one[k], shd[k], f"mesh {k}", rtol=1e-10, atol=1e-12)
