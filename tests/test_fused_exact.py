@@ -5,6 +5,8 @@ reference-exact host path column-for-column (CPU f64, default Wald
 config: ~condition two-group design, parametric trend, no weights).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -236,21 +238,54 @@ def test_fused_beta_prior_contrast_matches_host():
     _cmp(res["pvalue"], fres["pvalue"], "bp contrast pvalue")
 
 
+_MESH_CONTRAST_BODY = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import os
+
+import numpy as np
+import deseq2_tpu as dt
+from deseq2_tpu.parallel.fused import fused_results
+from deseq2_tpu.parallel.sharding import gene_mesh
+
+dds = dt.make_example_dataset(n=201, m=12, beta_sd=1.0, seed=27)
+cond = dt.Factor(np.repeat(["A", "B", "C"], 4), levels=["A", "B", "C"])
+dds.col_data["condition"] = cond
+dds = dt.estimate_size_factors(dds)
+x, _ = dds.model_matrix()
+c = np.array([0.0, 1.0, -1.0])
+one = fused_results(np.asarray(dds.counts), x, dds.size_factors,
+                    contrast=c, use_t=True)
+shd = fused_results(np.asarray(dds.counts), x, dds.size_factors,
+                    contrast=c, use_t=True, mesh=gene_mesh(8))
+for k in ("log2FoldChange", "lfcSE", "stat", "pvalue", "padj"):
+    a, b = np.asarray(one[k], float), np.asarray(shd[k], float)
+    assert np.array_equal(np.isnan(a), np.isnan(b)), k
+    m = ~np.isnan(a)
+    np.testing.assert_allclose(a[m], b[m], rtol=1e-10, atol=1e-12,
+                               err_msg=k)
+print("MESH_CONTRAST_OK")
+"""
+
+
 def test_fused_contrast_sharded_matches_single():
-    """fused contrast under an 8-device gene mesh == single-device."""
-    import jax
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 virtual devices")
-    from deseq2_tpu.parallel.sharding import gene_mesh
-    dds = dt.make_example_dataset(n=201, m=12, beta_sd=1.0, seed=27)
-    cond = dt.Factor(np.repeat(["A", "B", "C"], 4), levels=["A", "B", "C"])
-    dds.col_data["condition"] = cond
-    dds = dt.estimate_size_factors(dds)
-    x, _ = dds.model_matrix()
-    c = np.array([0.0, 1.0, -1.0])
-    one = fused_results(np.asarray(dds.counts), x, dds.size_factors,
-                        contrast=c, use_t=True)
-    shd = fused_results(np.asarray(dds.counts), x, dds.size_factors,
-                        contrast=c, use_t=True, mesh=gene_mesh(8))
-    for k in ("log2FoldChange", "lfcSE", "stat", "pvalue", "padj"):
-        _cmp(one[k], shd[k], f"mesh {k}", rtol=1e-10, atol=1e-12)
+    """fused contrast under an 8-device gene mesh == single-device.
+
+    Runs in a fresh subprocess: the compiled 8-virtual-device shard_map
+    program leaves this jaxlib's XLA:CPU runtime in a state that
+    segfaults a later, unrelated compilation in the same process
+    (reproduced at tests/test_transforms.py::test_vst_fast_subset);
+    isolation sidesteps the runtime bug without losing coverage."""
+    import subprocess
+    import sys
+    res = subprocess.run([sys.executable, "-c", _MESH_CONTRAST_BODY],
+                         capture_output=True, text=True, timeout=600,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "MESH_CONTRAST_OK" in res.stdout
