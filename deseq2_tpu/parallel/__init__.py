@@ -9,6 +9,8 @@ jnp reductions.
 """
 
 from .sharding import gene_mesh, shard_genes
-from .fused import fused_wald_pipeline
+from .fused import fused_results, fused_wald_pipeline
+from .sc import fused_sc_pipeline, fused_sc_results
 
-__all__ = ["gene_mesh", "shard_genes", "fused_wald_pipeline"]
+__all__ = ["gene_mesh", "shard_genes", "fused_wald_pipeline",
+           "fused_results", "fused_sc_pipeline", "fused_sc_results"]
