@@ -155,23 +155,29 @@ def accuracy_gate():
     lp32 = np.log10(np.maximum(p32[pb], 1e-30))
     lp64 = np.log10(np.maximum(p64[pb], 1e-30))
     d_logp = float(np.max(np.abs(lp32 - lp64))) if pb.any() else 0.0
-    excess = float(np.max(np.abs(lp32 - lp64) - 0.1 * np.abs(lp64))) \
+    excess = float(np.max(np.abs(lp32 - lp64) - 0.15 * np.abs(lp64))) \
         if pb.any() else 0.0
     rej32 = np.isfinite(padj32) & (padj32 < 0.1)
     rej64 = np.isfinite(padj64) & (padj64 < 0.1)
     union = (rej32 | rej64).sum()
     jacc = float((rej32 & rej64).sum() / union) if union else 1.0
+    p64a = np.where(np.isfinite(padj64), padj64, 1.0)
+    p32a = np.where(np.isfinite(padj32), padj32, 1.0)
+    flips = int((((p32a < 0.05) & (p64a > 0.2))
+                 | ((p64a < 0.05) & (p32a > 0.2))).sum())
 
     gate = dict(gate_genes=int(GATE_GENES),
                 gate_max_dlfc=round(d_lfc, 6),
                 gate_max_dlog10p=round(d_logp, 4),
                 gate_logp_excess=round(excess, 4),
                 gate_rejection_jaccard=round(jacc, 5),
+                gate_confident_flips=flips,
                 gate_finite_match=round(float(finite_match), 5))
     assert finite_match >= 0.999, f"finite-pattern mismatch: {gate}"
     assert d_lfc < 0.01, f"f32 log2FC drifted from f64: {gate}"
     assert excess < 0.5, f"f32 p-values drifted from f64: {gate}"
     assert jacc >= 0.995, f"alpha=0.1 rejection sets diverged: {gate}"
+    assert flips == 0, f"confident decisions flipped f32 vs f64: {gate}"
     return gate
 
 

@@ -174,7 +174,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         two_group=False, min_replicates=7, alpha=0.1,
                         x_reduced=None, reduced_intercept=False,
                         linear_mu=True, beta_prior=False, contrast=None,
-                        use_t=False, valid_genes=None):
+                        use_t=False, valid_genes=None, weights=None):
     """counts: (G,S) int; x: (S,p); size_factors: (S,); grid: (20,) log
     alpha grid.  Returns per-gene results dict (log2 scale LFC/SE/stat/p,
     plus dispersions and diagnostics).
@@ -228,8 +228,22 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
     import math
     min_la = math.log(min_disp / 10.0)
-    use_ls_pallas = _use_pallas_ls(S, p, dtype)
-    use_irls_pallas = _use_pallas_irls(S, p, dtype)
+    # observation weights (reference getAndCheckWeights semantics:
+    # rows pre-normalized to max 1, validated full-rank on host —
+    # fused_results raises on failing rows).  The Pallas kernels do not
+    # take weights, so the weighted pipeline runs the XLA f64-parity
+    # cores throughout.
+    use_w = weights is not None
+    if use_w:
+        # raw weights feed the (weighted) base stats; fits use rows
+        # normalized to max 1 and the gene-est searches additionally
+        # floor at 1e-6 (getBaseMeansAndVariances R/core.R:2138-2156,
+        # getAndCheckWeights R/core.R:2697-2752, estimateDispersions
+        # GeneEst's floor)
+        weights = weights.astype(dtype)
+        linear_mu = False          # host rule: weights disable linearMu
+    use_ls_pallas = _use_pallas_ls(S, p, dtype) and not use_w
+    use_irls_pallas = _use_pallas_irls(S, p, dtype) and not use_w
     lam_nat = jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)
 
     # LRT mode (reference nbinomLRT, R/core.R:1787-1897): fit the reduced
@@ -246,20 +260,28 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
     from jax.scipy.special import betainc, gammaln
 
-    # Wald p-values: normal, or t with df = m - p when use_t (the
-    # weights-free branch of R/core.R:1478-1508; fused has no weights)
-    t_df = float(S - p)
+    # Wald p-values: normal, or t with df = m - p — with weights, the
+    # per-gene df = sum(weights) - p (R/core.R:1478-1508)
+    if use_t and use_w:
+        _wn = weights / jnp.max(weights, axis=1, keepdims=True)
+        _dfw = jnp.sum(_wn, axis=1) - p
+        t_df = jnp.where(_dfw > 0, _dfw, jnp.nan)
+    else:
+        t_df = float(S - p)
 
     def two_sided_p(stat):
         if use_t:
-            return betainc(jnp.asarray(t_df / 2.0, dtype),
-                           jnp.asarray(0.5, dtype),
-                           t_df / (t_df + stat * stat))
+            d = t_df
+            if not isinstance(d, float) and stat.ndim == 2:
+                d = d[:, None]
+            return betainc(d / 2.0, jnp.asarray(0.5, dtype),
+                           d / (d + stat * stat))
         return erfc(jnp.abs(stat) / jnp.sqrt(2.0).astype(dtype))
 
-    def nb_loglik(y_loc, mu, alpha_vec):
+    def nb_loglik(y_loc, mu, alpha_vec, w_loc=None):
         """Row NB log-likelihood at unclamped mu (nbinomLogLike,
-        R/core.R:2208-2230, weights-free path).
+        R/core.R:2208-2230; observation weights multiply per-sample
+        terms).
 
         Stable difference form D(y,size) - lgamma(y+1) + y*log(mu)
         - (y+size)*log1p(mu*alpha): identical value, no catastrophic
@@ -268,20 +290,34 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         from ..ops.nb import lgamma_diff_centered
         size = 1.0 / alpha_vec[:, None]
         t = jnp.where(y_loc > 0.0, y_loc * jnp.log(mu), 0.0)
-        return jnp.sum(lgamma_diff_centered(y_loc, size)
-                       - gammaln(y_loc + 1.0) + t
-                       - (y_loc + size)
-                       * jnp.log1p(mu * alpha_vec[:, None]), axis=1)
+        terms = (lgamma_diff_centered(y_loc, size)
+                 - gammaln(y_loc + 1.0) + t
+                 - (y_loc + size) * jnp.log1p(mu * alpha_vec[:, None]))
+        if w_loc is not None:
+            terms = w_loc * terms
+        return jnp.sum(terms, axis=1)
 
     # ======== per-gene chains (shard-local: no collectives inside) ========
 
-    def chain_gene_est(y_loc):
+    def chain_gene_est(y_loc, w_loc=None):
         """Base stats + gene-wise dispersion MLE for a block of genes
-        (R/core.R:657-860).  Returns everything the later stages and the
-        outlier-refit splice need."""
+        (R/core.R:657-860).  `w_loc`: optional RAW observation weights.
+        Base stats are means/vars of weights*normCounts (reference
+        getBaseMeansAndVariances); the rough init stays unweighted; the
+        GLM mu fit uses max-1-normalized weights and the line search /
+        grid use the additionally 1e-6-floored ones (the gene-est
+        stage's floor, dispersions.py:146)."""
         norm_c = y_loc / sf[None, :]
-        base_mean = norm_c.mean(axis=1)
-        base_var = norm_c.var(axis=1, ddof=1)
+        if w_loc is not None:
+            wted = w_loc * norm_c
+            base_mean = wted.mean(axis=1)
+            base_var = wted.var(axis=1, ddof=1)
+            w_norm = w_loc / jnp.max(w_loc, axis=1, keepdims=True)
+            w_ge = jnp.maximum(w_norm, 1e-6)
+        else:
+            base_mean = norm_c.mean(axis=1)
+            base_var = norm_c.var(axis=1, ddof=1)
+            w_norm = w_ge = None
         all_zero = jnp.sum(y_loc, axis=1) == 0
 
         # dispersion init (R/core.R:709-728)
@@ -293,6 +329,11 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         alpha_init = jnp.clip(jnp.where(jnp.isnan(alpha_init), min_disp,
                                         alpha_init), min_disp, max_disp)
 
+        wkw = {} if w_norm is None else dict(weights=w_norm,
+                                             use_weights=True)
+        wkw_ge = {} if w_ge is None else dict(weights=w_ge,
+                                              use_weights=True)
+
         # mu for dispersion fitting (R/core.R:753-764): linearMu LS
         # projection when #design-cells == #coefficients, else a GLM fit
         # at the initial dispersions (mu recomputed unclamped in R,
@@ -302,14 +343,20 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             mu_disp = jnp.maximum(_ls_fitted(norm_c, x) * sf[None, :],
                                   min_mu)
         else:
-            b0 = chol_solve(x.T @ x, (jnp.log(norm_c + 0.1) @ x).T).T
+            # the host inits via QR (fitNbinomGLMs.R:139-155 /
+            # glm.py:173-176); matching it bit-for-bit keeps the
+            # dispersion line search's landing identical (the lp-change
+            # stopping rule amplifies 1e-15 mu differences to ~1e-3)
+            q_m, r_m = jnp.linalg.qr(x)
+            b0 = jnp.linalg.solve(r_m, (jnp.log(norm_c + 0.1) @ q_m).T).T
             if use_irls_pallas:
                 f0 = fit_beta_pallas(y_safe, x, sf, alpha_init, b0,
                                      lam_nat, maxit=maxit, min_mu=min_mu)
             else:
                 f0 = _fit_beta_core(
                     y_safe, x, jnp.broadcast_to(sf[None, :], y_safe.shape),
-                    alpha_init, b0, lam_nat, maxit=maxit, min_mu=min_mu)
+                    alpha_init, b0, lam_nat, maxit=maxit, min_mu=min_mu,
+                    **wkw)
             mu_disp = jnp.maximum(sf[None, :] * jnp.exp(f0["beta"] @ x.T),
                                   min_mu)
         mu_safe = jnp.where(all_zero[:, None], 1.0, mu_disp)
@@ -322,7 +369,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         else:
             mle = _fit_disp_line_search_core(y_safe, x, mu_safe, la0, la0,
                                              1.0, min_la, maxit=maxit,
-                                             use_prior=False)
+                                             use_prior=False, **wkw_ge)
         alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
         no_increase = mle["last_lp"] < mle["initial_lp"] + \
             jnp.abs(mle["initial_lp"]) / 1e6
@@ -330,14 +377,18 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
         need_grid = ~conv & (dge > min_disp * 10)
         dge = chain_grid_fb(dge, need_grid, jnp.zeros_like(dge),
-                            jnp.asarray(1.0, dtype), False, y_safe, mu_safe)
+                            jnp.asarray(1.0, dtype), False, y_safe, mu_safe,
+                            w_ge)
         dge = jnp.clip(dge, min_disp, max_disp)
-        return dict(base_mean=base_mean, base_var=base_var,
-                    all_zero=all_zero, disp_gene_est=dge,
-                    y_safe=y_safe, mu_safe=mu_safe, norm_c=norm_c)
+        est = dict(base_mean=base_mean, base_var=base_var,
+                   all_zero=all_zero, disp_gene_est=dge,
+                   y_safe=y_safe, mu_safe=mu_safe, norm_c=norm_c)
+        if w_loc is not None:
+            est["w"] = w_loc
+        return est
 
     def chain_grid_fb(disp_cur, need, prior_mean_arr, prior_var, use_prior,
-                      y_safe, mu_safe):
+                      y_safe, mu_safe, w_loc=None):
         """Grid-search fallback only on the `need` genes: gather them
         into a small static buffer when few (the common case), full
         batch otherwise.  Exact — the grid is per-gene independent.
@@ -346,16 +397,18 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         g_local = y_safe.shape[0]
         capg = straggler_capacity(g_local, frac=16, floor=1024)
 
-        def grid_solve(yy, mm, pm):
-            if _use_pallas_grid(yy.shape[1], p, dtype):
+        def grid_solve(yy, mm, pm, ww):
+            if w_loc is None and _use_pallas_grid(yy.shape[1], p, dtype):
                 return fit_disp_grid_pallas(
                     yy, x, mm, grid.astype(dtype), pm, prior_var,
                     use_prior=use_prior)
+            wk = {} if ww is None else dict(weights=ww, use_weights=True)
             return _fit_disp_grid_core(yy, x, mm, grid.astype(dtype),
-                                       pm, prior_var, use_prior=use_prior)
+                                       pm, prior_var, use_prior=use_prior,
+                                       **wk)
 
         def full_fn(_):
-            la = grid_solve(y_safe, mu_safe, prior_mean_arr)
+            la = grid_solve(y_safe, mu_safe, prior_mean_arr, w_loc)
             return jnp.where(need, jnp.exp(la), disp_cur)
 
         if capg == 0:
@@ -364,7 +417,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
         def compact_fn(_):
             idx = compact_live_indices(need, capg)
-            la = grid_solve(y_safe[idx], mu_safe[idx], prior_mean_arr[idx])
+            la = grid_solve(y_safe[idx], mu_safe[idx], prior_mean_arr[idx],
+                            None if w_loc is None else w_loc[idx])
             new = jnp.where(need[idx], jnp.exp(la), disp_cur[idx])
             return disp_cur.at[idx].set(new)
 
@@ -379,6 +433,13 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         (R/core.R:1016-1115, 1400-1463)."""
         y_safe, mu_safe = est["y_safe"], est["mu_safe"]
         all_zero, dge = est["all_zero"], est["disp_gene_est"]
+        w_raw = est.get("w")
+        # MAP search / IRLS / logLik run at max-1-normalized weights
+        # (getAndCheckWeights; no gene-est floor here)
+        w_loc = (None if w_raw is None
+                 else w_raw / jnp.max(w_raw, axis=1, keepdims=True))
+        wkw = {} if w_loc is None else dict(weights=w_loc,
+                                            use_weights=True)
         disp_fit = c0 + c1 / jnp.where(all_zero, 1.0, est["base_mean"])
 
         disp_init = jnp.where(dge > 0.1 * disp_fit, dge, disp_fit)
@@ -389,11 +450,13 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         else:
             map_res = _fit_disp_line_search_core(
                 y_safe, x, mu_safe, jnp.log(disp_init), jnp.log(disp_fit),
-                disp_prior_var, min_la, maxit=maxit, use_prior=True)
+                disp_prior_var, min_la, maxit=maxit, use_prior=True,
+                **wkw)
         disp_map = jnp.exp(map_res["log_alpha"])
         need_grid = map_res["iter"] >= maxit
         disp_map = chain_grid_fb(disp_map, need_grid, jnp.log(disp_fit),
-                                 disp_prior_var, True, y_safe, mu_safe)
+                                 disp_prior_var, True, y_safe, mu_safe,
+                                 w_loc)
         disp_map = jnp.clip(disp_map, min_disp, max_disp)
         disp_outlier = jnp.log(dge) > jnp.log(disp_fit) + \
             2.0 * jnp.sqrt(var_log_disp)
@@ -410,7 +473,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             fit = _fit_beta_core(y_safe, x,
                                  jnp.broadcast_to(sf[None, :], y_safe.shape),
                                  dispersion, beta_init, lam_nat,
-                                 maxit=maxit, min_mu=min_mu)
+                                 maxit=maxit, min_mu=min_mu, **wkw)
         # the reference recomputes mu UNclamped from the final betas in R
         # (R/fitNbinomGLMs.R:180) — the minmu-clamped kernel mu is only
         # internal to the IRLS/hat computation
@@ -430,6 +493,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             # kernel's internal mu kept the pre-divergence value)
             mu_cl = jnp.maximum(mu_out, min_mu)
             w_c = mu_cl / (1.0 + dispersion[:, None] * mu_cl)
+            if w_loc is not None:
+                w_c = w_loc * w_c
             xx_std = (x[:, :, None] * x[:, None, :]).reshape(S, p * p)
             xtwx = (w_c @ xx_std).reshape(-1, p, p)
             A_c = xtwx + jnp.diag(lam_nat)[None]
@@ -439,19 +504,25 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             out["den"] = jnp.sqrt(
                 jnp.einsum("i,gij,j->g", cvec_s, sigma_c, cvec_s))
         if lrt:
-            ll_full = nb_loglik(y_safe, mu_out, dispersion)
+            ll_full = nb_loglik(y_safe, mu_out, dispersion, w_loc)
             if reduced_intercept:
-                # intercept-only closed form (R/fitNbinomGLMs.R:99-137)
-                mu_red = est["norm_c"].mean(axis=1)[:, None] * sf[None, :]
+                # intercept-only closed form (R/fitNbinomGLMs.R:99-137;
+                # weighted mean when observation weights are present)
+                if w_loc is None:
+                    q_int = est["norm_c"].mean(axis=1)
+                else:
+                    q_int = (jnp.sum(w_loc * est["norm_c"], axis=1)
+                             / jnp.sum(w_loc, axis=1))
+                mu_red = q_int[:, None] * sf[None, :]
                 ll_red = nb_loglik(y_safe, jnp.where(
-                    all_zero[:, None], 1.0, mu_red), dispersion)
+                    all_zero[:, None], 1.0, mu_red), dispersion, w_loc)
             else:
                 p_red = x_reduced.shape[1]
                 b0_red = chol_solve(
                     x_reduced.T @ x_reduced,
                     (jnp.log(est["norm_c"] + 0.1) @ x_reduced).T).T
                 lam_red = jnp.full(p_red, 1e-6 / LN2 ** 2, dtype=dtype)
-                if _use_pallas_irls(S, p_red, dtype):
+                if _use_pallas_irls(S, p_red, dtype) and w_loc is None:
                     fit_red = fit_beta_pallas(y_safe, x_reduced, sf,
                                               dispersion, b0_red, lam_red,
                                               maxit=maxit, min_mu=min_mu)
@@ -460,10 +531,10 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         y_safe, x_reduced,
                         jnp.broadcast_to(sf[None, :], y_safe.shape),
                         dispersion, b0_red, lam_red, maxit=maxit,
-                        min_mu=min_mu)
+                        min_mu=min_mu, **wkw)
                 mu_red = sf[None, :] * jnp.exp(fit_red["beta"]
                                                @ x_reduced.T)
-                ll_red = nb_loglik(y_safe, mu_red, dispersion)
+                ll_red = nb_loglik(y_safe, mu_red, dispersion, w_loc)
             out["ll_full"] = ll_full
             out["ll_reduced"] = ll_red
             out["deviance"] = -2.0 * ll_full
@@ -490,7 +561,10 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         else:
             cvec = jnp.zeros(pe, dtype).at[1].set(-1.0).at[pe - 1].set(1.0)
 
-        def chain_prior(y_safe, norm_c, all_zero_l, disp_l, v_):
+        def chain_prior(y_safe, norm_c, all_zero_l, disp_l, v_,
+                        w_raw=None):
+            w_loc = (None if w_raw is None
+                     else w_raw / jnp.max(w_raw, axis=1, keepdims=True))
             """Expanded-matrix ridge refit + default contrast
             (fitGLMsWithPrior R/fitNbinomGLMs.R:292-332; contrast num/den
             from the sandwich as getContrast's maxit=0 fitBeta re-entry,
@@ -507,16 +581,20 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             binit = jnp.concatenate(
                 [b0c[:, None],
                  jnp.zeros((y_safe.shape[0], n_lvls), dtype)], axis=1)
-            if _use_pallas_irls(S, pe, dtype):
+            if _use_pallas_irls(S, pe, dtype) and w_loc is None:
                 fit = fit_beta_pallas(y_safe, x_exp, sf, disp_l, binit,
                                       lam_e, maxit=maxit, min_mu=min_mu)
             else:
+                wk = {} if w_loc is None else dict(weights=w_loc,
+                                                  use_weights=True)
                 fit = _fit_beta_core(
                     y_safe, x_exp,
                     jnp.broadcast_to(sf[None, :], y_safe.shape), disp_l,
-                    binit, lam_e, maxit=maxit, min_mu=min_mu)
+                    binit, lam_e, maxit=maxit, min_mu=min_mu, **wk)
             mu_cl = fit["mu"]           # clamped kernel mu (cpp post-fit)
             w = mu_cl / (1.0 + disp_l[:, None] * mu_cl)
+            if w_loc is not None:
+                w = w_loc * w
             xtwx = (w @ xx_exp).reshape(-1, pe, pe)
             A = xtwx + jnp.diag(lam_e)[None]
             Ainv = jnp.linalg.inv(A)
@@ -528,7 +606,10 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
     # ======== main path ========
 
-    est = smap(chain_gene_est, (gP,))(y)
+    if use_w:
+        est = smap(chain_gene_est, (gP, gP))(y, weights)
+    else:
+        est = smap(chain_gene_est, (gP,))(y)
     base_mean, base_var = est["base_mean"], est["base_var"]
     all_zero, disp_gene_est = est["all_zero"], est["disp_gene_est"]
 
@@ -574,8 +655,14 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                for c_ in qcols]
         prior_v = sum(vs_) / len(vs_)   # averagePriorsOverLevels mean
         out["betaPriorVar"] = prior_v
-        pr = smap(chain_prior, (gP, gP, gP, gP, rP))(
-            est["y_safe"], est["norm_c"], all_zero, dispersion, prior_v)
+        if use_w:
+            pr = smap(chain_prior, (gP, gP, gP, gP, rP, gP))(
+                est["y_safe"], est["norm_c"], all_zero, dispersion,
+                prior_v, weights)
+        else:
+            pr = smap(chain_prior, (gP, gP, gP, gP, rP))(
+                est["y_safe"], est["norm_c"], all_zero, dispersion,
+                prior_v)
 
     # ======== Cook's distances + outlier replacement/refit ========
     replace = jnp.zeros(G, bool)
@@ -615,6 +702,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             # values only change for replaced rows
             any_replace = jnp.any(replace)
             norm_new = y_new / sf[None, :]
+            if use_w:
+                norm_new = weights * norm_new  # weighted base stats
             base_mean = jnp.where(replace & any_replace,
                                   norm_new.mean(axis=1), base_mean)
             base_var = jnp.where(replace & any_replace,
@@ -625,12 +714,12 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             # --- refit dispersions + GLM on replaced rows only, with the
             # frozen trend/prior (refitWithoutOutliers R/core.R:2497-2560)
             def chain_refit(y_new_loc, need_loc, tmpl, c0, c1, pv, vld,
-                            pv_beta):
+                            pv_beta, w_full=None):
                 g_local = y_new_loc.shape[0]
                 capg = straggler_capacity(g_local, frac=8, floor=2048)
 
-                def refit_block(y_blk):
-                    est2 = chain_gene_est(y_blk)
+                def refit_block(y_blk, w_blk):
+                    est2 = chain_gene_est(y_blk, w_blk)
                     post2 = chain_post_trend(est2, c0, c1, pv, vld)
                     cooks2 = cooks_distance_dev(
                         y_blk, est2["norm_c"],
@@ -660,7 +749,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         # R/core.R:2523-2531)
                         pr2 = chain_prior(est2["y_safe"], est2["norm_c"],
                                           est2["all_zero"],
-                                          post2["dispersion"], pv_beta)
+                                          post2["dispersion"], pv_beta,
+                                          w_blk)
                         d.update(beta_e=pr2["beta_e"],
                                  beta_var_e=pr2["beta_var_e"],
                                  iter_e=pr2["iter_e"],
@@ -674,7 +764,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         for k in tmpl}
 
                 def full_fn(_):
-                    return splice(refit_block(y_new_loc), need_loc)
+                    return splice(refit_block(y_new_loc, w_full),
+                                  need_loc)
 
                 def none_fn(_):
                     return tmpl
@@ -685,7 +776,9 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
                 def compact_fn(_):
                     idx = compact_live_indices(need_loc, capg)
-                    new_c = refit_block(y_new_loc[idx])
+                    new_c = refit_block(
+                        y_new_loc[idx],
+                        None if w_full is None else w_full[idx])
                     sel = need_loc[idx]
                     out_c = {}
                     for k in tmpl:
@@ -717,11 +810,17 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                 tmpl.update(beta_e=pr["beta_e"], beta_var_e=pr["beta_var_e"],
                             iter_e=pr["iter_e"], num=pr["num"],
                             den=pr["den"])
-            spl = smap(chain_refit,
-                       (gP, gP, {k: gP for k in tmpl}, rP, rP, rP, rP, rP))(
-                y_new, need, tmpl, coefs[0], coefs[1], disp_prior_var,
-                var_log_disp,
-                prior_v if beta_prior else jnp.asarray(0.0, dtype))
+            refit_args = (y_new, need, tmpl, coefs[0], coefs[1],
+                          disp_prior_var, var_log_disp,
+                          prior_v if beta_prior else jnp.asarray(0.0,
+                                                                 dtype))
+            refit_specs = (gP, gP, {k: gP for k in tmpl}, rP, rP, rP, rP,
+                           rP)
+            if use_w:
+                spl = smap(chain_refit, refit_specs + (gP,))(
+                    *refit_args, weights)
+            else:
+                spl = smap(chain_refit, refit_specs)(*refit_args)
             disp_gene_est = spl["disp_gene_est"]
             disp_fit, disp_map = spl["disp_fit"], spl["disp_map"]
             disp_outlier, dispersion = (spl["disp_outlier"],
@@ -920,7 +1019,7 @@ def _reduced_args(reduced):
 def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                       min_disp=1e-8, cells=None, two_group=False,
                       alpha=0.1, reduced=None, beta_prior=False,
-                      contrast=None, use_t=False):
+                      contrast=None, use_t=False, weights=None):
     # (gene padding to the device count is masked out of the filtering
     # quantiles via valid_genes)
     """Run the fused pipeline with the genes axis sharded over `mesh`."""
@@ -932,6 +1031,10 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
     gshard = shard_genes(mesh)
     rep = replicated(mesh)
     counts_d = jax.device_put(counts_p, gshard)
+    weights_d = None
+    if weights is not None:
+        w_p, _ = pad_to_multiple(np.asarray(weights, np.float64), n_dev, 1.0)
+        weights_d = jax.device_put(w_p, gshard)
     x_d = jax.device_put(np.asarray(x, dtype=np.float64), rep)
     sf_d = jax.device_put(np.asarray(size_factors, dtype=np.float64), rep)
     grid = np.linspace(np.log(min_disp),
@@ -949,7 +1052,7 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                               linear_mu=lin_mu, beta_prior=beta_prior,
                               contrast=contrast, use_t=use_t,
                               valid_genes=G if counts_p.shape[0] != G
-                              else None)
+                              else None, weights=weights_d)
     return {k: np.asarray(v)[:G] if np.ndim(v) and np.shape(v)[0] ==
             counts_p.shape[0] else np.asarray(v) for k, v in out.items()}
 
@@ -958,7 +1061,7 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                   alpha=0.1, independent_filtering=True, mesh=None,
                   two_group=False, min_replicates=7, devices=None,
                   reduced=None, beta_prior=False, contrast=None,
-                  use_t=False):
+                  use_t=False, weights=None):
     """Full DESeq results via the fused pipeline.
 
     Equivalent of deseq() + results() for the default bulk configuration
@@ -984,13 +1087,16 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                        np.log(max(10.0, counts.shape[1])), 20)
     if contrast is not None:
         contrast = tuple(float(c) for c in np.asarray(contrast).ravel())
+    if weights is not None:
+        weights = _validated_weights(np.asarray(weights, np.float64),
+                                     x_np)
     if mesh is not None:
         out = run_fused_sharded(np.asarray(counts), x_np, size_factors,
                                 mesh, maxit=maxit, min_disp=min_disp,
                                 cells=cells, two_group=two_group,
                                 alpha=alpha, reduced=reduced,
                                 beta_prior=beta_prior, contrast=contrast,
-                                use_t=use_t)
+                                use_t=use_t, weights=weights)
     else:
         x_red, red_int = _reduced_args(reduced)
         lin_mu = len(set(cells)) == x_np.shape[1]
@@ -1004,7 +1110,9 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                                   else jnp.asarray(x_red),
                                   reduced_intercept=red_int,
                                   linear_mu=lin_mu, beta_prior=beta_prior,
-                                  contrast=contrast, use_t=use_t)
+                                  contrast=contrast, use_t=use_t,
+                                  weights=None if weights is None
+                                  else jnp.asarray(weights))
 
     # two host round-trips total: the 50-scalar filtering stats (to pick
     # the lowess cutoff), then one batched device_get of all columns —
@@ -1033,3 +1141,44 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
         cols["padj"] = out["padjLast"]
         res = jax.device_get(cols)
     return res
+
+
+def _validated_weights(weights, x_np, weight_threshold=1e-2):
+    """Normalize observation weights and require every row to keep the
+    design estimable (vectorized equivalent of getAndCheckWeights'
+    per-row rank tests, R/core.R:2697-2752).
+
+    The host path demotes failing rows to allZero with a warning; the
+    fused fast path refuses them instead — route those datasets through
+    the host deseq() (optionally gene-sharded via ops.placement
+    .use_gene_mesh), which carries the weightsFail bookkeeping."""
+    import numpy as np
+    if np.any(weights < 0):
+        raise ValueError("weights must be non-negative")
+    mx = weights.max(axis=1, keepdims=True)
+    if np.any(mx <= 0):
+        raise ValueError("each gene needs at least one positive weight")
+    w = weights / mx   # normalized for the rank tests only
+    m = x_np.shape[1]
+    # test1: rank(diag(w_i) X) == p via the weighted Gram determinant
+    gram1 = np.einsum("gs,sp,sq->gpq", w * w, x_np, x_np)
+    ok1 = np.linalg.matrix_rank(gram1) == m
+    # test2: rows with w > threshold, zero columns dropped, full rank
+    sub = (w > weight_threshold).astype(np.float64)
+    keep = np.einsum("gs,sp->gp", sub, np.abs(x_np)) > 0  # (G,p)
+    gram2 = np.einsum("gs,sp,sq->gpq", sub, x_np, x_np)
+    cm = keep.astype(np.float64)
+    gram2 = gram2 * (cm[:, :, None] * cm[:, None, :])
+    gram2 = gram2 + np.einsum("gp,pq->gpq", 1.0 - cm, np.eye(m))
+    ok2 = np.linalg.matrix_rank(gram2) == m
+    bad = ~(ok1 & ok2)
+    if bad.any():
+        raise ValueError(
+            f"{int(bad.sum())} row(s) have weights that do not allow "
+            "parameter estimation (rank-deficient weighted design); the "
+            "fused fast path refuses them — use the host deseq() which "
+            "flags such rows weightsFail/allZero "
+            f"(first rows: {np.where(bad)[0][:5].tolist()})")
+    # return the RAW weights: the pipeline's base stats use them as-is
+    # (getBaseMeansAndVariances) and normalize internally for the fits
+    return weights

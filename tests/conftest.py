@@ -28,3 +28,18 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 def pytest_configure(config):
     config.addinivalue_line("markers",
                             "slow: multi-process / large-shape tests")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """This jaxlib's XLA:CPU segfaults once enough live compiled
+    programs accumulate in one process (the crash point moves with the
+    number of compiled pipelines; reproduced with and without the
+    persistent disk cache).  Dropping the in-memory executables between
+    test modules keeps the population below the trigger; the disk cache
+    makes the recompiles cheap."""
+    yield
+    jax.clear_caches()

@@ -289,3 +289,90 @@ def test_fused_contrast_sharded_matches_single():
                              os.path.abspath(__file__))))
     assert res.returncode == 0, res.stdout + res.stderr
     assert "MESH_CONTRAST_OK" in res.stdout
+
+
+def _decision_cmp(res, fres, alpha=0.1, max_flips=0):
+    """Weighted fused-vs-host agreement, decision-based.
+
+    Weighted fits cannot be bit-identical across differently-fused XLA
+    programs (the one-jit pipeline vs the host's standalone kernels
+    round the same f64 formulas differently at ~1e-15, and the
+    dispersion line search's lp-change stopping rule amplifies that to
+    ~1e-3 landings; discrete rules — dispOutlier exemption, Cook's
+    masking — can then flip for boundary genes).  The weights-free
+    fused path IS column-identical because its linearMu mu is exactly
+    reproducible.  So for weights: bounded LFC drift, p-value rank
+    agreement, and zero confident decision flips."""
+    a_lfc = np.asarray(res["log2FoldChange"], float)
+    b_lfc = np.asarray(fres["log2FoldChange"], float)
+    m = ~np.isnan(a_lfc) & ~np.isnan(b_lfc)
+    assert np.max(np.abs(a_lfc[m] - b_lfc[m])) < 0.02
+    pa = np.asarray(res["pvalue"], float)
+    pb = np.asarray(fres["pvalue"], float)
+    pm = ~np.isnan(pa) & ~np.isnan(pb)
+    from scipy.stats import spearmanr
+    rho = spearmanr(pa[pm], pb[pm]).statistic
+    assert rho > 0.9995, rho
+    qa = np.asarray(res["padj"], float)
+    qb = np.asarray(fres["padj"], float)
+    qa = np.where(np.isnan(qa), 1.0, qa)
+    qb = np.where(np.isnan(qb), 1.0, qb)
+    flips = (((qa < alpha / 2) & (qb > 2 * alpha))
+             | ((qb < alpha / 2) & (qa > 2 * alpha))).sum()
+    assert flips <= max_flips, int(flips)
+
+
+def test_fused_weights_matches_host():
+    """fused_results(weights=...) vs host deseq() with a weights assay
+    (weighted IRLS / CR line search / base stats / Cook's tail at fused
+    speed; R/core.R:2138-2156, 2697-2752).  Agreement is decision-based
+    — see _decision_cmp for why bit-identity is out of reach for
+    weighted fits."""
+    dds = dt.make_example_dataset(n=250, m=12, beta_sd=1.0, seed=33)
+    rng = np.random.default_rng(33)
+    w = rng.uniform(0.3, 1.0, (250, 12))
+    dds.assays["weights"] = w
+    dds = dt.deseq(dds)
+    res = dt.results(dds)
+    fres = fused_results(np.asarray(dds.counts), dds.attrs["modelMatrix"],
+                         dds.size_factors, two_group=True, weights=w)
+    # the weighted base stats are deterministic identical expressions
+    _cmp(res["baseMean"], fres["baseMean"], "w baseMean")
+    # dispersion estimates agree to line-search landing noise
+    a = dds.row_data["dispGeneEst"]
+    b = fres["dispGeneEst"]
+    m = ~np.isnan(a)
+    assert np.max(np.abs(b[m] / a[m] - 1.0)) < 2e-2
+    _decision_cmp(res, fres)
+
+
+def test_fused_weights_use_t_lrt():
+    """weights + useT (per-gene df = sum(w) - p) and weights + LRT,
+    decision-based agreement with the host."""
+    dds = dt.make_example_dataset(n=200, m=10, beta_sd=1.0, seed=34)
+    rng = np.random.default_rng(34)
+    w = rng.uniform(0.4, 1.0, (200, 10))
+    dds.assays["weights"] = w
+    d1 = dt.deseq(dds.copy(), use_t=True)
+    r1 = dt.results(d1)
+    f1 = fused_results(np.asarray(dds.counts), d1.attrs["modelMatrix"],
+                       d1.size_factors, two_group=True, weights=w,
+                       use_t=True)
+    _decision_cmp(r1, f1)
+    d2 = dt.deseq(dds.copy(), test="LRT", reduced="~ 1")
+    r2 = dt.results(d2)
+    f2 = fused_results(np.asarray(dds.counts), d2.attrs["modelMatrix"],
+                       d2.size_factors, two_group=True, weights=w,
+                       reduced="~ 1")
+    _decision_cmp(r2, f2)
+
+
+def test_fused_weights_rejects_degenerate_rows():
+    """Rows whose weights zero out a design level are refused with
+    guidance (the host path flags them weightsFail instead)."""
+    dds = dt.make_example_dataset(n=50, m=12, beta_sd=1.0, seed=35)
+    w = np.ones((50, 12))
+    w[3, 6:] = 0.0   # kills the B group entirely for row 3
+    with pytest.raises(ValueError, match="weightsFail"):
+        fused_results(np.asarray(dds.counts), dds.model_matrix()[0],
+                      np.ones(12), two_group=True, weights=w)
