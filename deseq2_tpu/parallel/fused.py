@@ -563,12 +563,12 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
         def chain_prior(y_safe, norm_c, all_zero_l, disp_l, v_,
                         w_raw=None):
-            w_loc = (None if w_raw is None
-                     else w_raw / jnp.max(w_raw, axis=1, keepdims=True))
             """Expanded-matrix ridge refit + default contrast
             (fitGLMsWithPrior R/fitNbinomGLMs.R:292-332; contrast num/den
             from the sandwich as getContrast's maxit=0 fitBeta re-entry,
             R/results.R:760-827 / cpp:429-455)."""
+            w_loc = (None if w_raw is None
+                     else w_raw / jnp.max(w_raw, axis=1, keepdims=True))
             lam_e = jnp.concatenate(
                 [jnp.asarray([1e-6], dtype),
                  jnp.broadcast_to(1.0 / v_, (n_lvls,)).astype(dtype)]) \
