@@ -1076,8 +1076,13 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
     beta_prior) — the getContrast equivalent (R/results.R:760-827) at
     fused speed.  Character-triple contrasts resolve to such a vector on
     host via the model-matrix column names (results.clean_contrast);
-    `use_t` switches Wald p-values to the t with df = m - p
-    (R/core.R:1478-1508)."""
+    `use_t` switches Wald p-values to the t with df = m - p (or
+    sum(weights) - p) (R/core.R:1478-1508); `weights`: optional raw
+    (G,S) observation weights — validated on host (rank tests of
+    getAndCheckWeights; degenerate rows are refused with guidance),
+    then the full reference weight semantics run on device.  The
+    weighted results are decision-equivalent, not bit-identical, to the
+    host path (see tests/test_fused_exact.py::_decision_cmp)."""
     import numpy as np
     from ..results import choose_filter_theta
 
