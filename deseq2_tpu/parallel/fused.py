@@ -1,19 +1,22 @@
 """Fused on-device DESeq Wald pipeline: one jitted program over the mesh.
 
-This is the production hot path for the default bulk configuration
-(group-like design, no weights, parametric trend): gene-wise dispersion
-MLE -> parametric trend -> MAP shrinkage -> ridge IRLS -> Wald statistics,
-entirely on device, genes axis sharded across the mesh.  The cross-gene
-reductions (trend fit sums, MAD, prior variance) are sharded jnp
-reductions -> XLA all-reduces over ICI; everything else is embarrassingly
-gene-parallel (SURVEY.md sections 2.7, 7).
+This is the production hot path: gene-wise dispersion MLE -> parametric
+trend -> MAP shrinkage -> ridge IRLS -> Wald statistics (or LRT /
+beta-prior expanded refit), plus the full results tail (Cook's, outlier
+replacement + refit, Cook's p-masking, filtered BH), entirely on
+device, genes axis sharded across the mesh.  Arbitrary numeric
+contrasts, useT, and observation weights run at the same speed (the
+weighted path uses the XLA f64-parity cores; the Pallas kernels cover
+the unweighted hot solvers).  The cross-gene reductions (trend fit
+sums, MAD, prior variance, BH/filter quantiles) are sharded jnp
+reductions -> XLA all-reduces over ICI; everything else is
+embarrassingly gene-parallel (SURVEY.md sections 2.7, 7).
 
 The host-orchestrated deseq() remains the reference-exact path (it adds
-the optim/grid fallback ladders, Cook's filtering heuristics, and the
-statistical long tail); this fused program implements the same default
-math (same kernels, same clamps, same convergence rules) for speed-of-
-light throughput and for multi-chip dry runs.
-"""
+the optim/grid fallback ladders and the statistical long tail); the
+fused program implements the same math (same kernels, same clamps,
+same convergence rules) and tests/test_fused_exact.py pins it
+column-identical (weights: decision-equivalent) to the host."""
 
 from __future__ import annotations
 
