@@ -26,8 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import erfc, polygamma
 
-from ..ops.disp import (fit_disp_grid, fit_disp_line_search,
-                        _fit_disp_grid_core, _fit_disp_line_search_core)
+from ..ops.disp import _fit_disp_grid_core, _fit_disp_line_search_core
 from ..ops.pallas_disp import fit_disp_grid_pallas, pallas_grid_supported
 from ..ops.pallas_ls import fit_disp_line_search_pallas, pallas_ls_supported
 from ..ops.pallas_irls import fit_beta_pallas, pallas_irls_supported

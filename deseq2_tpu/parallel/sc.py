@@ -41,7 +41,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import digamma, erfc, gammaln, polygamma
+from jax.scipy.special import erfc, gammaln, polygamma
 
 from ..ops.nb import digamma_diff, lgamma_diff_centered
 from .fused import LN2, LOG2E, _bh_adjust, _gamma_trend_fit, _masked_median
