@@ -107,12 +107,19 @@ class DESeqDataSet:
                             for e in arr.tolist()):
                         self._cols_with_na.add(k)
                     elif arr.dtype.kind in "US" and any(
-                            str(e) in ("nan", "NA", "None", "NaN", "<NA>")
+                            str(e) in ("nan", "<NA>")
                             for e in arr.tolist()):
                         # np.array(['A', np.nan]) coerces NaN to the
-                        # *string* 'nan' before we ever see it; the
-                        # reference raises on NA design variables
-                        # (R/AllClasses.R:198-201), so flag these too
+                        # *string* 'nan' (and pandas NA stringifies to
+                        # '<NA>') before we ever see it; the reference
+                        # raises on NA design variables
+                        # (R/AllClasses.R:198-201), so flag these two
+                        # sentinels.  Deliberately NOT 'None'/'NA'/'NaN':
+                        # those are legitimate factor level names (e.g. a
+                        # dose column) and only np.nan / pd.NA actually
+                        # stringify through numpy coercion.  Limitation:
+                        # a *level literally named* 'nan' is still
+                        # flagged — rename it.
                         self._cols_with_na.add(k)
                     self.col_data[k] = Factor(arr.astype(str))
                     if arr.dtype.kind in "OUS":

@@ -488,17 +488,18 @@ def estimate_dispersions_prior_var(dds, min_disp=1e-8, model_matrix=None,
         # smoothing is a direct local-quadratic loess rather than R
         # loess's surface="interpolate" kd-tree blend — it can move the
         # fine-grid argmin by ~0.01 at most.
-        from .rng_r import RRandomState
-        rng = RRandomState(rng_seed)
         obs_dist = disp_residuals[above]
         brks = np.arange(-20, 21) / 2.0
         obs_dist = obs_dist[(obs_dist > brks[0]) & (obs_dist < brks[-1])]
         obs_var_grid = np.linspace(0, 8, 200)
         obs_hist = _hist_density_right(obs_dist, brks)
+        chis, norms = _mc_kl_streams(rng_seed, m - p, len(obs_var_grid))
         kl_divs = np.empty(len(obs_var_grid))
         for i, v in enumerate(obs_var_grid):
-            rand = (np.log(rng.rchisq(10000, m - p))
-                    + rng.rnorm(10000, 0.0, np.sqrt(v)) - np.log(m - p))
+            # rnorm(n, 0, sd) = sd * standard stream (R's rnorm scales
+            # norm_rand()), so the cached standard draws are exact
+            rand = (np.log(chis[i]) + np.sqrt(v) * norms[i]
+                    - np.log(m - p))
             rand = rand[(rand > brks[0]) & (rand < brks[-1])]
             rand_hist = _hist_density_right(rand, brks)
             z = np.concatenate([obs_hist, rand_hist])
@@ -515,6 +516,32 @@ def estimate_dispersions_prior_var(dds, min_disp=1e-8, model_matrix=None,
         exp_var_log_disp = polygamma(1, (m - p) / 2.0)
         return max(var_log_disp_ests - float(exp_var_log_disp), 0.25)
     return var_log_disp_ests
+
+
+_MC_KL_CACHE = {}
+
+
+def _mc_kl_streams(rng_seed, df, n_grid, n=10000):
+    """R-exact set.seed(seed) deviate streams for the MC-KL branch,
+    cached per (seed, df) across deseq() calls (ADVICE r3: the pure-
+    Python scalar stream costs ~20 s; it depends only on seed and df —
+    the rnorm sd scales the standard stream without changing the
+    uniforms consumed — so one generation serves every call)."""
+    key = (int(rng_seed), int(df), int(n_grid), int(n))
+    hit = _MC_KL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .rng_r import RRandomState
+    rng = RRandomState(rng_seed)
+    chis = np.empty((n_grid, n))
+    norms = np.empty((n_grid, n))
+    for i in range(n_grid):
+        chis[i] = rng.rchisq(n, df)
+        norms[i] = rng.rnorm(n, 0.0, 1.0)
+    if len(_MC_KL_CACHE) >= 4:   # ~32 MB per entry: keep a few
+        _MC_KL_CACHE.pop(next(iter(_MC_KL_CACHE)))
+    _MC_KL_CACHE[key] = (chis, norms)
+    return chis, norms
 
 
 def _hist_density_right(x, brks):

@@ -992,9 +992,14 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
     # ---- independent filtering + BH tail (R/results.R:638-718) ----
     if independent_filtering:
         from .filterdev import filtered_bh_dev, theta_grid_dev
-        theta = theta_grid_dev(base_mean)
+        # mesh gene padding looks like all-zero genes: exclude it from
+        # the theta grid's zero share and the type-7 filter quantiles
+        # exactly as run_fused_sharded does (fused.py valid_genes)
+        vg = G if padded_G != G else None
+        theta = theta_grid_dev(base_mean, valid_genes=vg)
         filter_padj, num_rej, cutoffs = filtered_bh_dev(
-            p_last, base_mean, theta, jnp.asarray(alpha, dtype))
+            p_last, base_mean, theta, jnp.asarray(alpha, dtype),
+            valid_genes=vg)
         small = jax.device_get(dict(num_rej=num_rej, theta=theta,
                                     cutoffs=cutoffs))
         j, _, _ = choose_filter_theta(small["theta"], small["num_rej"])

@@ -53,6 +53,16 @@ def test_na_in_design_factor():
         dataset_from_matrix(CTS, cd, "~ xwNA")
 
 
+def test_level_named_None_is_not_NA():
+    """A legitimate factor level named 'None' (common for dose/treatment
+    columns) must NOT trip the NA-in-design check — only the strings
+    numpy/pandas coercion actually produces ('nan', '<NA>') are
+    sentinels (ADVICE r3)."""
+    cd = {"dose": np.array(["None", "None", "Low", "High"])}
+    dds = dataset_from_matrix(CTS, cd, "~ dose")
+    assert sorted(dds.col_data["dose"].levels) == ["High", "Low", "None"]
+
+
 def test_missing_design_variable():
     with pytest.raises(ValueError, match="must be columns in colData"):
         dataset_from_matrix(CTS, coldata(), "~ y")

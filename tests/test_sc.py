@@ -161,12 +161,18 @@ def test_sc_mesh_matches_single_device():
     dds = dt.make_example_dataset(n=203, m=20, beta_sd=1.0, seed=34)
     dds = dt.estimate_size_factors(dds)
     cells = np.asarray(dds.col_data["condition"].codes, np.int32)
+    # real all-zero genes in the data: the mesh run pads 233 -> 240, and
+    # both the padding AND these rows must stay out of the filtering
+    # tail's zero-share/quantiles identically to the single-device run
+    counts = np.vstack([np.asarray(dds.counts),
+                        np.zeros((30, dds.counts.shape[1]), np.int64)])
     kw = dict(n_groups=2, chunk=7, test="LRT", fit_type="glmGamPoi")
-    one = fused_sc_results(np.asarray(dds.counts), cells,
-                           dds.size_factors, **kw)
+    one = fused_sc_results(counts, cells, dds.size_factors, **kw)
     mesh = gene_mesh(8)
-    shd = fused_sc_results(np.asarray(dds.counts), cells,
-                           dds.size_factors, mesh=mesh, **kw)
+    shd = fused_sc_results(counts, cells, dds.size_factors, mesh=mesh, **kw)
+    assert one["filterTheta"] == pytest.approx(shd["filterTheta"],
+                                               rel=1e-12)
+    np.testing.assert_allclose(one["filterNumRej"], shd["filterNumRej"])
     for k in ("dispGeneEst", "dispFit", "qlDispMAP", "dispersion",
               "LRTStatistic", "LRTPvalue", "padj"):
         _cmp(one[k], shd[k], f"mesh {k}", rtol=1e-10, atol=1e-12)
