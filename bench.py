@@ -87,13 +87,36 @@ _GATE_WORKER = r"""
 import json, sys
 import numpy as np
 sys.path.insert(0, {repo!r})
-from bench import _gate_inputs
+from bench import _gate_inputs, _public_run
 counts, x, sf = _gate_inputs({gate_g}, {s})
-from deseq2_tpu.parallel.fused import fused_results
-res = fused_results(counts, x, sf, two_group=True)
+res = _public_run(counts)
 np.savez({out!r}, lfc=res["log2FoldChange"], p=res["pvalue"],
          padj=res["padj"], stat=res["stat"], baseMean=res["baseMean"])
 """
+
+
+def _make_dds(counts):
+    """Public-API dataset for the benchmark fixture (two-group design)."""
+    import deseq2_tpu as dt
+    s = counts.shape[1]
+    cond = np.repeat(["A", "B"], [s // 2, s - s // 2])
+    return dt.dataset_from_matrix(counts, {"condition": cond},
+                                  "~ condition")
+
+
+def _public_run(counts):
+    """README-quickstart path: deseq() + results() through the public
+    API with the fused engine (auto picks it on an accelerator; forced
+    here so the f64 CPU gate worker runs the same code path).  Size
+    factors are estimated inside the fused program (median-of-ratios on
+    device, R/core.R:535-578)."""
+    import deseq2_tpu as dt
+    dds = _make_dds(counts)
+    fit = dt.deseq(dds, engine="fused")
+    res = dt.results(fit)
+    return {"log2FoldChange": res["log2FoldChange"], "stat": res["stat"],
+            "pvalue": res["pvalue"], "padj": res["padj"],
+            "baseMean": res["baseMean"]}
 
 
 def _gate_inputs(g, s, seed=0):
@@ -118,10 +141,9 @@ def accuracy_gate():
     the first GATE_GENES genes of the benchmark generator.  Raises on
     disagreement; returns the gate summary dict."""
     import jax
-    from deseq2_tpu.parallel.fused import fused_results
 
     sub, x, sf = _gate_inputs(GATE_GENES, S)
-    res32 = fused_results(sub, x, sf, two_group=True)
+    res32 = _public_run(sub)
 
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "f64.npz")
@@ -267,6 +289,16 @@ def sc_accuracy_gate(g=2048, s=4096):
     assert excess < 1.0, f"SC f32 p-values catastrophically off: {gate}"
     assert flips <= max(1, g // 1000), \
         f"SC confident decisions flipped between f32 and f64: {gate}"
+    # Rejection-set agreement bound (VERDICT r3 weak #2).  Bulk asserts
+    # >= 0.995; the SC QL F statistic additionally carries the
+    # reference's alpha-mismatch quirk (see comment above) which turns
+    # ~1-2% f32 dispersion-landing noise into ~0.3 log10(p) jitter, so
+    # genes within that band of the alpha=0.1 cutoff churn between the
+    # two precisions.  Measured agreement is ~0.95 on this fixture
+    # (BENCH_EXTRA_r03); 0.90 bounds real regressions (a broken kernel
+    # drops it to ~0.5) while tolerating the borderline churn the
+    # confident-flip gate already polices.
+    assert jacc >= 0.90, f"SC rejection sets diverged f32 vs f64: {gate}"
     return gate
 
 
@@ -364,6 +396,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import deseq2_tpu as dtp
     from deseq2_tpu.parallel.fused import fused_results
 
     gate = None
@@ -371,15 +404,20 @@ def main():
         gate = accuracy_gate()
 
     counts, x, sf, grid = make_inputs(G, S)
-    counts = jnp.asarray(counts)  # upload once; steady-state = on-device
+    # the PUBLIC API is the timed path (VERDICT r3 item 1): a user's
+    # deseq()+results() — including the dataset copy, the host->device
+    # counts upload, on-device median-of-ratios size factors, and the
+    # device independent-filtering tail — at the benched throughput.
+    dds = _make_dds(counts)
 
     def run_sync():
-        # fused_results fetches padj to host (the filtering tail), which
-        # is the synchronization barrier: on the axon tunnel platform
+        # results() fetches padj to host (the filtering tail), which is
+        # the synchronization barrier: on the axon tunnel platform
         # block_until_ready returns before execution completes, so a
         # host fetch is the only reliable barrier
-        res = fused_results(counts, x, sf, two_group=True)
-        return res["stat"], res["padj"]
+        fit = dtp.deseq(dds, engine="fused")
+        res = dtp.results(fit)
+        return np.asarray(res["stat"]), np.asarray(res["padj"])
 
     run_sync()  # warmup (compile)
     run_sync()  # second warmup: steady-state caches, tunnel settled
@@ -394,12 +432,27 @@ def main():
     assert np.isfinite(stat).mean() > 0.95
     assert np.isfinite(padj).mean() > 0.5
 
+    # secondary: the raw pipeline with counts pre-staged on device
+    # (kernel-level throughput, round-3 comparable)
+    counts_d = jnp.asarray(counts)
+
+    def run_raw():
+        res = fused_results(counts_d, x, sf, two_group=True)
+        return res["padj"]
+
+    run_raw()
+    t0 = time.perf_counter()
+    run_raw()
+    dt_raw = time.perf_counter() - t0
+
     genes_per_sec = G / dt
     line = {
         "metric": f"deseq_wald_genes_per_sec_{G}x{S}",
         "value": round(genes_per_sec, 1),
         "unit": "genes/s/chip",
         "vs_baseline": round(genes_per_sec / baseline_genes_per_sec(S), 2),
+        "public_api": True,
+        "pipeline_only_genes_per_sec": round(G / dt_raw, 1),
     }
     if S > 128:
         line["baseline_extrapolated"] = True

@@ -87,7 +87,14 @@ class DESeqDataSet:
                 warnings.warn("all genes have equal values for all samples. "
                               "will not be able to perform differential "
                               "analysis")
-        self.counts = counts.astype(np.int64)
+        # R integers are 32-bit and the reference requires counts to fit
+        # them (AllClasses.R validity); int32 also halves the HBM upload
+        # on the fused engine.  Values past 2^31 keep int64 (a lenient
+        # extension — the reference errors there).
+        if counts.size and counts.max() > np.iinfo(np.int32).max:
+            self.counts = counts.astype(np.int64)
+        else:
+            self.counts = counts.astype(np.int32)
         n_genes, n_samples = self.counts.shape
 
         # column data: coerce object/str arrays to Factors (reference

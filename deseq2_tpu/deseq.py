@@ -19,21 +19,34 @@ from . import profiling
 def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
           beta_prior=False, full=None, reduced=None, quiet=True,
           min_replicates_for_replace=None, model_matrix_type=None,
-          use_t=False, minmu=None, config=None, mesh=None):
+          use_t=False, minmu=None, config=None, mesh=None, engine=None):
     """size factors -> dispersions -> Wald or LRT -> outlier refit.
 
     Mirrors the reference's argument checking and stage sequencing
     (R/core.R:288-432).  `config` (a DESeqConfig) supplies any tunables
     not given explicitly and is threaded through every stage.
 
+    `engine` selects the execution path (the reference has one DESeq()
+    entry point — R/core.R:280-432 — and so does this): "auto" (default)
+    runs the fused on-device pipeline (parallel/fused.py, the benched
+    TPU fast path) whenever the backend is an accelerator and the
+    configuration is eligible, and the reference-exact host
+    orchestration otherwise; "fused"/"host" force a path.  The fused
+    engine populates the same columns/assays/attrs, so results() and
+    friends work unchanged.  Env override: DESEQ2_TPU_ENGINE.
+
     `mesh` (a 1-D gene mesh from parallel.sharding.gene_mesh) is the
     reference's `parallel=TRUE, BPPARAM=` equivalent (R/core.R:407-416):
-    every batched kernel call in every stage — weighted fits, beta-prior
-    refits, LRT, outlier refits — runs gene-sharded across the mesh
-    devices, with results identical to the single-device run (the
-    cross-gene reductions stay host-side either way).
+    under the fused engine the whole pipeline runs gene-sharded via
+    shard_map; on the host path every batched kernel call in every
+    stage — weighted fits, beta-prior refits, LRT, outlier refits —
+    runs gene-sharded across the mesh devices, with results identical
+    to the single-device run (the cross-gene reductions stay host-side
+    either way).
     """
-    if mesh is not None:
+    from .engine import resolve_engine
+    engine = resolve_engine(engine)
+    if mesh is not None and engine == "host":
         from .ops.placement import use_gene_mesh
         with use_gene_mesh(mesh):
             return deseq(dds, test=test, fit_type=fit_type, sf_type=sf_type,
@@ -41,7 +54,8 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
                          quiet=quiet,
                          min_replicates_for_replace=min_replicates_for_replace,
                          model_matrix_type=model_matrix_type, use_t=use_t,
-                         minmu=minmu, config=config, mesh=None)
+                         minmu=minmu, config=config, mesh=None,
+                         engine="host")
     from .config import cfg
     min_replicates_for_replace = cfg(min_replicates_for_replace,
                                      "min_replicates_for_replace", config)
@@ -122,6 +136,43 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
 
     dds = dds.copy()
     dds.attrs["betaPrior"] = beta_prior
+
+    # ---- engine routing: the fused on-device fast path ----
+    if engine != "host":
+        import jax
+        from .engine import deseq_fused, fused_ineligibility
+        reason = fused_ineligibility(dds, test, fit_type, sf_type,
+                                     beta_prior, model_matrix,
+                                     model_matrix_type, minmu, config)
+        want = engine == "fused" or jax.default_backend() != "cpu"
+        if reason is None and want:
+            with profiling.stage("deseqFused", genes=dds.counts.shape[0]):
+                routed = deseq_fused(
+                    dds, test=test, sf_type=sf_type,
+                    beta_prior=beta_prior, full=full, reduced=reduced,
+                    quiet=quiet,
+                    min_replicates_for_replace=min_replicates_for_replace,
+                    model_matrix=model_matrix,
+                    model_matrix_type=model_matrix_type, use_t=use_t,
+                    mesh=mesh)
+            if routed is not None:
+                return routed
+            reason = ("weights do not allow parameter estimation for "
+                      "some rows (weightsFail bookkeeping is host-side)")
+        if engine == "fused":
+            raise ValueError(f"engine='fused' unavailable: {reason}")
+        if want and not quiet:
+            warnings.warn(f"fused engine unavailable ({reason}); "
+                          "running the host-exact path")
+        if mesh is not None:
+            return deseq(dds, test=test, fit_type=fit_type,
+                         sf_type=sf_type, beta_prior=beta_prior,
+                         full=full, reduced=reduced, quiet=quiet,
+                         min_replicates_for_replace=(
+                             min_replicates_for_replace),
+                         model_matrix_type=model_matrix_type,
+                         use_t=use_t, minmu=minmu, config=config,
+                         mesh=mesh, engine="host")
 
     # Single-cell-scale guardrail (the reference's own SC guidance,
     # R/core.R:297-303): the host-exact path materializes several (G,S)

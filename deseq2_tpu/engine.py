@@ -1,0 +1,382 @@
+"""Fused-engine routing: the public deseq() runs the TPU fast path.
+
+The reference has exactly ONE entry point — DESeq() (R/core.R:280-432);
+parallel execution is an argument, not a separate API.  This module
+gives deseq() the same property on TPU: eligible configurations route
+through the fused on-device pipeline (parallel/fused.py) and populate
+the SAME dds row_data columns / assays / attrs the host-exact stages
+would (column names, types and descriptions included), so results(),
+summary(), lfc_shrink() and the plots work unchanged at fused speed.
+Ineligible configurations fall back to the host-exact path with a
+one-line notice.
+
+Engine selection (deseq(engine=...)):
+  - "auto" (default): fused when the backend is an accelerator and the
+    configuration is eligible, host otherwise.  On CPU the host path is
+    already reference-exact and fast enough, and it carries the full
+    optim/grid fallback ladders — so auto only routes off-CPU.
+  - "fused": force the fused path; raises with the reason if the
+    configuration is ineligible.
+  - "host": force the host-exact path.
+The environment variable DESEQ2_TPU_ENGINE overrides the default.
+
+Gene x sample assays produced on device (mu, H, cooks, replaceCounts,
+replaceCooks) are stored as device arrays — fetched lazily by whoever
+indexes them — while all per-gene columns arrive in one batched
+device_get.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import numpy as np
+
+LOG2E = np.log2(np.e)
+
+# config fields the fused pipeline hardcodes at the reference defaults:
+# a non-default value forces the host path
+_FROZEN_CONFIG = ("min_disp", "kappa_0", "disp_tol", "maxit_disp",
+                  "use_cr", "weight_threshold", "outlier_sd", "niter_disp",
+                  "grid_size", "beta_tol", "maxit_beta", "use_qr",
+                  "min_mu", "wide_prior_lambda", "beta_large",
+                  "cooks_trim")
+
+
+def resolve_engine(engine):
+    if engine is None:
+        engine = os.environ.get("DESEQ2_TPU_ENGINE", "auto")
+    if engine not in ("auto", "fused", "host"):
+        raise ValueError("engine must be 'auto', 'fused' or 'host'")
+    return engine
+
+
+def fused_ineligibility(dds, test, fit_type, sf_type, beta_prior,
+                        model_matrix, model_matrix_type, minmu, config):
+    """Return None when the configuration can run on the fused engine,
+    else a one-line reason for the host fallback."""
+    from .config import DEFAULT, DESeqConfig
+    from .formula import Factor
+
+    if fit_type != "parametric":
+        return f"fitType='{fit_type}' trend runs host-side"
+    if sf_type == "iterate":
+        return "sfType='iterate' alternates with dispersion fits host-side"
+    if minmu is not None and minmu != 0.5:
+        return "non-default minmu"
+    cfgv = config or DEFAULT
+    ref = DESeqConfig()
+    off = [f for f in _FROZEN_CONFIG
+           if getattr(cfgv, f) != getattr(ref, f)]
+    if off:
+        return f"non-default config field(s) {off}"
+    S = dds.n_samples
+    mm = model_matrix
+    if mm is None and not isinstance(dds.design, np.ndarray):
+        try:
+            mm = dds.model_matrix()[0]
+        except Exception as e:  # malformed designs: host raises richly
+            return f"design not resolvable to a model matrix ({e})"
+    elif mm is None:
+        mm = dds.design
+    if mm.shape[1] >= S:
+        return "no residual degrees of freedom (samples <= coefficients)"
+    if beta_prior:
+        if isinstance(dds.design, np.ndarray) or model_matrix is not None:
+            return "betaPrior with user-supplied model matrix"
+        dvars = dds.design.variables
+        if model_matrix_type == "standard":
+            return "betaPrior with standard model matrix runs host-side"
+        if len(dvars) != 1 or not isinstance(dds.col_data.get(dvars[0]),
+                                             Factor):
+            return ("fused betaPrior supports single-factor designs; "
+                    "multi-factor expanded matrices run host-side")
+        if not dds.design_has_intercept():
+            return "betaPrior requires an intercept design"
+    if test == "LRT" and fit_type == "glmGamPoi":
+        return "glmGamPoi quasi-likelihood runs host-side"
+    return None
+
+
+def _two_group(dds):
+    """Whether the Cook's two-group unmask heuristic applies
+    (R/results.R:538-562): single 2-level factor design."""
+    from .formula import Factor
+    if isinstance(dds.design, np.ndarray):
+        return False
+    dvars = dds.design.variables
+    return (len(dvars) == 1
+            and isinstance(dds.col_data.get(dvars[0]), Factor)
+            and dds.col_data[dvars[0]].nlevels == 2)
+
+
+def deseq_fused(dds, test="Wald", sf_type="ratio", beta_prior=False,
+                full=None, reduced=None, quiet=True,
+                min_replicates_for_replace=7, model_matrix=None,
+                model_matrix_type=None, use_t=False, mesh=None,
+                maxit=100):
+    """Run the fused on-device pipeline and populate dds exactly like
+    the host stages (estimateSizeFactors -> estimateDispersions ->
+    nbinomWaldTest/nbinomLRT -> refitWithoutOutliers) would.
+
+    Returns the populated dds, or None when the weights fail the
+    estimability validation (the host path carries the weightsFail
+    demotion bookkeeping the fused kernels refuse).
+    """
+    import jax
+
+    from .dataset import DispersionFunction
+    from .formula import Factor, rename_model_matrix_columns
+    from .parallel.fused import (_reduced_args, _validated_weights,
+                                 design_cells, fused_wald_pipeline,
+                                 run_fused_sharded)
+
+    dds = dds.copy()
+    model_as_formula = model_matrix is None \
+        and not isinstance(dds.design, np.ndarray)
+
+    # ---- model matrix + host naming ----
+    if model_as_formula:
+        rename = dds.design_has_intercept()
+        mm, names = dds.renamed_model_matrix(rename=rename)
+        mm_type = model_matrix_type or ("expanded" if beta_prior
+                                        else "standard")
+    else:
+        mm = model_matrix if model_matrix is not None else dds.design
+        _, names = dds.model_matrix() if model_matrix is None else \
+            (None, [f"x{i+1}" for i in range(mm.shape[1])])
+        mm_type = "user-supplied"
+    mm = np.asarray(mm, dtype=np.float64)
+
+    reduced_mm = None
+    comparison = None
+    if test == "LRT":
+        if isinstance(reduced, np.ndarray):
+            reduced_mm = np.asarray(reduced, np.float64)
+            comparison = "full vs reduced"
+        else:
+            reduced_mm, _ = dds.model_matrix(reduced)
+            from .formula import parse_formula
+            full_f = dds.design if full is None else parse_formula(full)
+            comparison = f"'{full_f}' vs '{parse_formula(reduced)}'"
+
+    # ---- weights (host estimability contract) ----
+    weights = None
+    if "weights" in dds.assays:
+        try:
+            weights = _validated_weights(
+                np.asarray(dds.assays["weights"], np.float64), mm)
+        except ValueError:
+            return None   # host path handles weightsFail demotion
+
+    # ---- size / normalization factors ----
+    nf = dds.normalization_factors
+    sf = dds.size_factors
+    estimate_sf_dev = False
+    if sf is None and nf is None:
+        if sf_type == "ratio":
+            estimate_sf_dev = True
+        else:  # poscounts: host O(G*S) one-pass, then route
+            from .sizefactors import estimate_size_factors
+            dds = estimate_size_factors(dds, type=sf_type, quiet=quiet)
+            sf = dds.size_factors
+
+    # ---- static pipeline knobs ----
+    if beta_prior:
+        # cells must be the FACTOR level codes so the expanded columns
+        # line up with makeExpandedModelMatrix's level order
+        fac = dds.col_data[dds.design.variables[0]]
+        cells = tuple(int(c) for c in fac.codes)
+    else:
+        cells = design_cells(mm)
+    two_group = _two_group(dds)
+    lin_mu = weights is None and len(set(cells)) == mm.shape[1]
+    min_reps = (int(min_replicates_for_replace)
+                if np.isfinite(min_replicates_for_replace)
+                else dds.n_samples + 1)
+    x_red, red_int = _reduced_args(reduced_mm) if test == "LRT" \
+        else (None, False)
+
+    # ---- run the fused program ----
+    if mesh is not None and mesh.devices.size > 1:
+        out = run_fused_sharded(
+            np.asarray(dds.counts), mm, sf, mesh, maxit=maxit,
+            cells=cells, two_group=False, reduced=reduced_mm,
+            beta_prior=beta_prior, use_t=use_t, weights=weights,
+            norm_factors=nf, min_replicates=min_reps)
+        fetched = out
+        device_assays = False
+    else:
+        import jax.numpy as jnp
+        grid = np.linspace(np.log(1e-8),
+                           np.log(max(10.0, dds.n_samples)), 20)
+        out = fused_wald_pipeline(
+            jnp.asarray(np.asarray(dds.counts)), jnp.asarray(mm),
+            jnp.asarray(np.ones(dds.n_samples) if sf is None
+                        else np.asarray(sf)),
+            jnp.asarray(grid), maxit=maxit, cells=cells,
+            min_replicates=min_reps,
+            x_reduced=None if x_red is None else jnp.asarray(x_red),
+            reduced_intercept=red_int, linear_mu=lin_mu,
+            beta_prior=beta_prior, use_t=use_t,
+            weights=None if weights is None else jnp.asarray(weights),
+            norm_factors=None if nf is None else jnp.asarray(nf),
+            estimate_sf=estimate_sf_dev)
+        # ONE batched fetch of every per-gene column; (G,S) assays stay
+        # on device and download lazily if anything indexes them
+        small = {k: v for k, v in out.items()
+                 if k not in ("mu", "hatDiag", "cooks", "replaceCooks",
+                              "replaceCounts", "filterPadj",
+                              "filterCutoffs", "filterNumRej",
+                              "filterTheta")}
+        fetched = {k: np.asarray(v) for k, v in
+                   jax.device_get(small).items()}
+        device_assays = True
+
+    az = np.asarray(fetched["allZero"], bool)
+
+    def napad(v, as_float=True):
+        v = np.asarray(v, float) if as_float else np.asarray(v)
+        return np.where(az, np.nan, v) if as_float else v
+
+    # ---- size factors / dispersion function state ----
+    if estimate_sf_dev:
+        dds.size_factors = np.asarray(fetched["sizeFactors"], float)
+    c0, c1 = np.asarray(fetched["trendCoefs"], float)
+    disp_fn = DispersionFunction(
+        lambda means, a=float(c0), b=float(c1): a + b / means,
+        "parametric", coefficients=np.array([c0, c1]))
+    disp_fn.disp_prior_var = float(fetched["dispPriorVar"])
+    disp_fn.var_log_disp_ests = float(fetched["varLogDispEsts"])
+    dds.dispersion_function = disp_fn
+
+    # ---- intermediate columns (estimateDispersions contract) ----
+    rd = dds.set_row_data
+    rd("baseMean", np.asarray(fetched["baseMean"], float), "intermediate",
+       "mean of normalized counts for all samples")
+    rd("baseVar", np.asarray(fetched["baseVar"], float), "intermediate",
+       "variance of normalized counts for all samples")
+    rd("allZero", az, "intermediate", "all counts for a gene are zero")
+    rd("dispGeneEst", np.asarray(fetched["dispGeneEst"], float),
+       "intermediate", "gene-wise estimates of dispersion")
+    rd("dispGeneIter", napad(fetched["dispGeneIter"]), "intermediate",
+       "number of iterations for gene-wise")
+    rd("dispFit", np.asarray(fetched["dispFit"], float), "intermediate",
+       "fitted values of dispersion")
+    rd("dispersion", np.asarray(fetched["dispersion"], float),
+       "intermediate", "final estimate of dispersion")
+    rd("dispIter", napad(fetched["dispIter"]), "intermediate",
+       "number of iterations")
+    rd("dispOutlier", np.asarray(fetched["dispOutlier"], bool),
+       "intermediate", "dispersion flagged as outlier")
+    rd("dispMAP", np.asarray(fetched["dispMAP"], float), "intermediate",
+       "maximum a posteriori estimate")
+    if weights is not None:
+        dds.attrs["weightsOK"] = True
+
+    # ---- attrs (nbinomWaldTest/nbinomLRT contract) ----
+    if beta_prior:
+        from .expanded import make_expanded_model_matrix
+        mm_store, names_store = make_expanded_model_matrix(dds)
+        pv = float(fetched["betaPriorVar"])
+        beta_prior_var = np.array([1e6] + [pv] * (len(names_store) - 1))
+    else:
+        mm_store, names_store = mm, names
+        beta_prior_var = np.full(mm.shape[1], 1e6)
+    dds.attrs["betaPrior"] = beta_prior
+    dds.attrs["betaPriorVar"] = beta_prior_var
+    dds.attrs["modelMatrix"] = mm_store
+    dds.attrs["modelMatrixNames"] = list(names_store)
+    dds.attrs["modelMatrixType"] = mm_type
+    dds.attrs["dispModelMatrix"] = mm
+    dds.attrs["test"] = test
+    dds.attrs["engine"] = "fused"
+    if test == "LRT":
+        dds.attrs["reducedModelMatrix"] = reduced_mm
+
+    # ---- assays: device-resident gene x sample matrices ----
+    def dev_napad(a):
+        if not device_assays:
+            return np.where(az[:, None], np.nan, np.asarray(a, float))
+        import jax.numpy as jnp
+        return jnp.where(jnp.asarray(az)[:, None], jnp.nan, a)
+
+    dds.assays["mu"] = dev_napad(out["mu"])
+    dds.assays["H"] = dev_napad(out["hatDiag"])
+    if "cooks" in out:
+        dds.assays["cooks"] = out["cooks"] if device_assays \
+            else np.asarray(out["cooks"], float)
+
+    # ---- results columns ----
+    beta = np.asarray(fetched["beta"], float)
+    se = np.asarray(fetched["betaSE"], float)
+    stat = np.asarray(fetched["stat"], float)
+    pval = np.asarray(fetched["pvalue"], float)
+    lfc_type = "MAP" if beta_prior else "MLE"
+    names_spaces = [n.replace("_", " ") for n in names_store]
+    for j, (n, ns) in enumerate(zip(names_store, names_spaces)):
+        rd(n, beta[:, j], "results",
+           f"log2 fold change ({lfc_type}): {ns}")
+        rd(f"SE_{n}", se[:, j], "results", f"standard error: {ns}")
+    if beta_prior:
+        mle = np.asarray(fetched["mleBeta"], float)
+        conv = rename_model_matrix_columns(dds.col_data, dds.design)
+        mle_names = [conv.get(n, n) for n in names]
+        for j, n in enumerate(mle_names):
+            rd(f"MLE_{n}", mle[:, j], "results",
+               "MLE " + n.replace("_", " "))
+    if test == "Wald":
+        for j, (n, ns) in enumerate(zip(names_store, names_spaces)):
+            rd(f"WaldStatistic_{n}", stat[:, j], "results",
+               f"Wald statistic: {ns}")
+        for j, (n, ns) in enumerate(zip(names_store, names_spaces)):
+            rd(f"WaldPvalue_{n}", pval[:, j], "results",
+               f"Wald test p-value: {ns}")
+        rd("betaConv", napad(fetched["betaConv"]), "results",
+           "convergence of betas")
+        rd("betaIter", napad(fetched["betaIter"]), "results",
+           "iterations for betas")
+        rd("deviance", np.asarray(fetched["deviance"], float), "results",
+           "deviance for the fitted model")
+    else:
+        rd("LRTStatistic", np.asarray(fetched["LRTStatistic"], float),
+           "results", f"LRT statistic: {comparison}")
+        rd("LRTPvalue", np.asarray(fetched["LRTPvalue"], float),
+           "results", f"LRT p-value: {comparison}")
+        rd("fullBetaConv", napad(fetched["betaConv"]), "results",
+           "convergence of betas for full model")
+        rd("reducedBetaConv",
+           napad(np.asarray(fetched["betaIterReduced"]) < maxit),
+           "results", "convergence of betas for reduced model")
+        rd("betaIter", napad(fetched["betaIter"]), "results",
+           "iterations for betas for full model")
+        rd("deviance", np.asarray(fetched["deviance"], float), "results",
+           "deviance of the full model")
+    if "maxCooks" in fetched:
+        rd("maxCooks", np.asarray(fetched["maxCooks"], float), "results",
+           "maximum Cook's distance for row")
+    if use_t:
+        if weights is not None:
+            wn = weights / weights.max(axis=1, keepdims=True)
+            df = wn.sum(axis=1) - mm.shape[1]
+        else:
+            df = np.full(dds.n_genes,
+                         float(dds.n_samples - mm.shape[1]))
+        df = np.where(df > 0, df, np.nan)
+        rd("tDegreesFreedom", napad(df), "results",
+           "t degrees of freedom for Wald test")
+
+    # ---- outlier replacement bookkeeping (refitWithoutOutliers) ----
+    cells_np = np.asarray(cells)
+    replaceable = np.bincount(cells_np)[cells_np] >= min_reps
+    if replaceable.any() and "replace" in fetched:
+        replace = np.asarray(fetched["replace"], bool)
+        rd("replace", replace, "intermediate", "had counts replaced")
+        dds.col_data["replaceable"] = replaceable
+        if replace.any() and "replaceCooks" in out:
+            dds.assays["replaceCooks"] = out["replaceCooks"] \
+                if device_assays else np.asarray(out["replaceCooks"])
+            dds.assays["replaceCounts"] = out["replaceCounts"] \
+                if device_assays else np.asarray(out["replaceCounts"])
+    return dds

@@ -170,16 +170,27 @@ def _bh_adjust(p, valid):
                                    "two_group", "min_replicates", "alpha",
                                    "reduced_intercept", "linear_mu",
                                    "beta_prior", "contrast", "use_t",
-                                   "valid_genes"))
+                                   "valid_genes", "estimate_sf"))
 def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         min_disp_pow=-8, mesh=None, cells=None,
                         two_group=False, min_replicates=7, alpha=0.1,
                         x_reduced=None, reduced_intercept=False,
                         linear_mu=True, beta_prior=False, contrast=None,
-                        use_t=False, valid_genes=None, weights=None):
+                        use_t=False, valid_genes=None, weights=None,
+                        norm_factors=None, estimate_sf=False):
     """counts: (G,S) int; x: (S,p); size_factors: (S,); grid: (20,) log
     alpha grid.  Returns per-gene results dict (log2 scale LFC/SE/stat/p,
     plus dispersions and diagnostics).
+
+    `norm_factors`: optional (G,S) gene x sample normalization factors
+    (the reference's normalizationFactors assay, R/methods.R:286-361 —
+    how tximport/avgTxLength datasets are analyzed): every mu becomes
+    nf_ij * exp(x beta) (src/DESeq2.cpp:324-327) and normalized counts
+    are counts/nf; size_factors are then ignored.  `estimate_sf=True`
+    computes median-of-ratios size factors ON DEVICE from the counts
+    (estimateSizeFactorsForMatrix type='ratio', R/core.R:535-578) and
+    ignores the size_factors input (pass ones); the estimated factors
+    are returned under 'sizeFactors'.
 
     With `mesh` (a 1-D 'genes' device mesh), the three per-gene hot
     solvers (dispersion MLE/MAP line searches, IRLS) and the grid
@@ -224,9 +235,27 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         gP = rP = None
 
     y = counts.astype(dtype)
-    sf = size_factors.astype(dtype)
+    if estimate_sf:
+        # median-of-ratios on device (R/core.R:535-578): log-geomeans
+        # over genes (-inf when any count is zero), per-sample median of
+        # the finite log ratios over genes with a positive count.  All-
+        # zero padding rows under a mesh drop out via the finite mask.
+        logy = jnp.log(y)
+        lg = jnp.mean(logy, axis=1)
+        ratios = jnp.where(jnp.isfinite(lg)[:, None] & (y > 0),
+                           logy - lg[:, None], jnp.nan)
+        sf = jnp.exp(jnp.nanmedian(ratios, axis=0))
+    else:
+        sf = size_factors.astype(dtype)
     x = x.astype(dtype)
-    xim = jnp.mean(1.0 / sf)
+    use_nf = norm_factors is not None
+    if use_nf:
+        nfm = norm_factors.astype(dtype)
+        # momentsDispEstimate's xim (R/core.R:2440-2444)
+        xim = jnp.mean(1.0 / jnp.mean(nfm, axis=0))
+    else:
+        nfm = None
+        xim = jnp.mean(1.0 / sf)
 
     import math
     min_la = math.log(min_disp / 10.0)
@@ -301,15 +330,18 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
     # ======== per-gene chains (shard-local: no collectives inside) ========
 
-    def chain_gene_est(y_loc, w_loc=None):
+    def chain_gene_est(y_loc, w_loc=None, nf_loc=None):
         """Base stats + gene-wise dispersion MLE for a block of genes
         (R/core.R:657-860).  `w_loc`: optional RAW observation weights.
+        `nf_loc`: optional (g,S) normalization-factor block (replaces
+        the shared size-factor row everywhere, src/DESeq2.cpp:324-327).
         Base stats are means/vars of weights*normCounts (reference
         getBaseMeansAndVariances); the rough init stays unweighted; the
         GLM mu fit uses max-1-normalized weights and the line search /
         grid use the additionally 1e-6-floored ones (the gene-est
         stage's floor, dispersions.py:146)."""
-        norm_c = y_loc / sf[None, :]
+        nf_b = sf[None, :] if nf_loc is None else nf_loc
+        norm_c = y_loc / nf_b
         if w_loc is not None:
             wted = w_loc * norm_c
             base_mean = wted.mean(axis=1)
@@ -342,8 +374,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         # then clamped at minmu)
         y_safe = jnp.where(all_zero[:, None], 1.0, y_loc)
         if linear_mu:
-            mu_disp = jnp.maximum(_ls_fitted(norm_c, x) * sf[None, :],
-                                  min_mu)
+            mu_disp = jnp.maximum(_ls_fitted(norm_c, x) * nf_b, min_mu)
         else:
             # the host inits via QR (fitNbinomGLMs.R:139-155 /
             # glm.py:173-176); matching it bit-for-bit keeps the
@@ -352,14 +383,17 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             q_m, r_m = jnp.linalg.qr(x)
             b0 = jnp.linalg.solve(r_m, (jnp.log(norm_c + 0.1) @ q_m).T).T
             if use_irls_pallas:
-                f0 = fit_beta_pallas(y_safe, x, sf, alpha_init, b0,
-                                     lam_nat, maxit=maxit, min_mu=min_mu)
+                f0 = fit_beta_pallas(y_safe, x,
+                                     sf if nf_loc is None else nf_loc,
+                                     alpha_init, b0, lam_nat, maxit=maxit,
+                                     min_mu=min_mu)
             else:
                 f0 = _fit_beta_core(
-                    y_safe, x, jnp.broadcast_to(sf[None, :], y_safe.shape),
+                    y_safe, x,
+                    jnp.broadcast_to(nf_b, y_safe.shape),
                     alpha_init, b0, lam_nat, maxit=maxit, min_mu=min_mu,
                     **wkw)
-            mu_disp = jnp.maximum(sf[None, :] * jnp.exp(f0["beta"] @ x.T),
+            mu_disp = jnp.maximum(nf_b * jnp.exp(f0["beta"] @ x.T),
                                   min_mu)
         mu_safe = jnp.where(all_zero[:, None], 1.0, mu_disp)
 
@@ -384,9 +418,12 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         dge = jnp.clip(dge, min_disp, max_disp)
         est = dict(base_mean=base_mean, base_var=base_var,
                    all_zero=all_zero, disp_gene_est=dge,
+                   disp_gene_iter=mle["iter"],
                    y_safe=y_safe, mu_safe=mu_safe, norm_c=norm_c)
         if w_loc is not None:
             est["w"] = w_loc
+        if nf_loc is not None:
+            est["nf"] = nf_loc
         return est
 
     def chain_grid_fb(disp_cur, need, prior_mean_arr, prior_var, use_prior,
@@ -436,6 +473,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         y_safe, mu_safe = est["y_safe"], est["mu_safe"]
         all_zero, dge = est["all_zero"], est["disp_gene_est"]
         w_raw = est.get("w")
+        nf_loc = est.get("nf")
+        nf_b = sf[None, :] if nf_loc is None else nf_loc
         # MAP search / IRLS / logLik run at max-1-normalized weights
         # (getAndCheckWeights; no gene-est floor here)
         w_loc = (None if w_raw is None
@@ -468,23 +507,30 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                                (jnp.log(est["norm_c"] + 0.1) @ x).T).T
         if use_irls_pallas:
             # 1-D nf: the kernel skips one (G,S) HBM stream for the
-            # shared per-sample size-factor row (the common case)
-            fit = fit_beta_pallas(y_safe, x, sf, dispersion, beta_init,
+            # shared per-sample size-factor row (the common case);
+            # gene x sample norm factors stream as a (g,S) block
+            fit = fit_beta_pallas(y_safe, x,
+                                  sf if nf_loc is None else nf_loc,
+                                  dispersion, beta_init,
                                   lam_nat, maxit=maxit, min_mu=min_mu)
         else:
             fit = _fit_beta_core(y_safe, x,
-                                 jnp.broadcast_to(sf[None, :], y_safe.shape),
+                                 jnp.broadcast_to(nf_b, y_safe.shape),
                                  dispersion, beta_init, lam_nat,
                                  maxit=maxit, min_mu=min_mu, **wkw)
         # the reference recomputes mu UNclamped from the final betas in R
         # (R/fitNbinomGLMs.R:180) — the minmu-clamped kernel mu is only
-        # internal to the IRLS/hat computation
-        mu_out = sf[None, :] * jnp.exp(fit["beta"] @ x.T)
+        # internal to the IRLS/hat computation.  The deviance column is
+        # likewise -2 * logLik at the unclamped mu (nbinomLogLike,
+        # R/core.R:2208-2230), not the kernel's clamped-mu deviance.
+        mu_out = nf_b * jnp.exp(fit["beta"] @ x.T)
+        ll_out = nb_loglik(y_safe, mu_out, dispersion, w_loc)
         out = dict(disp_fit=disp_fit, disp_map=disp_map,
+                   disp_iter=map_res["iter"],
                    disp_outlier=disp_outlier, dispersion=dispersion,
                    beta=fit["beta"], beta_var=fit["beta_var"],
                    beta_iter=fit["iter"], mu=mu_out,
-                   hat=fit["hat_diag"], deviance=fit["deviance"])
+                   hat=fit["hat_diag"], deviance=-2.0 * ll_out)
         if contrast is not None and not beta_prior:
             # arbitrary-contrast num/den from the sandwich at the final
             # (clamped kernel) mu — getContrast's maxit=0 fitBeta
@@ -506,7 +552,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             out["den"] = jnp.sqrt(
                 jnp.einsum("i,gij,j->g", cvec_s, sigma_c, cvec_s))
         if lrt:
-            ll_full = nb_loglik(y_safe, mu_out, dispersion, w_loc)
+            ll_full = ll_out
             if reduced_intercept:
                 # intercept-only closed form (R/fitNbinomGLMs.R:99-137;
                 # weighted mean when observation weights are present)
@@ -515,9 +561,10 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                 else:
                     q_int = (jnp.sum(w_loc * est["norm_c"], axis=1)
                              / jnp.sum(w_loc, axis=1))
-                mu_red = q_int[:, None] * sf[None, :]
+                mu_red = q_int[:, None] * nf_b
                 ll_red = nb_loglik(y_safe, jnp.where(
                     all_zero[:, None], 1.0, mu_red), dispersion, w_loc)
+                out["beta_iter_reduced"] = jnp.zeros_like(fit["iter"])
             else:
                 p_red = x_reduced.shape[1]
                 b0_red = chol_solve(
@@ -525,18 +572,20 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                     (jnp.log(est["norm_c"] + 0.1) @ x_reduced).T).T
                 lam_red = jnp.full(p_red, 1e-6 / LN2 ** 2, dtype=dtype)
                 if _use_pallas_irls(S, p_red, dtype) and w_loc is None:
-                    fit_red = fit_beta_pallas(y_safe, x_reduced, sf,
-                                              dispersion, b0_red, lam_red,
-                                              maxit=maxit, min_mu=min_mu)
+                    fit_red = fit_beta_pallas(
+                        y_safe, x_reduced,
+                        sf if nf_loc is None else nf_loc,
+                        dispersion, b0_red, lam_red,
+                        maxit=maxit, min_mu=min_mu)
                 else:
                     fit_red = _fit_beta_core(
                         y_safe, x_reduced,
-                        jnp.broadcast_to(sf[None, :], y_safe.shape),
+                        jnp.broadcast_to(nf_b, y_safe.shape),
                         dispersion, b0_red, lam_red, maxit=maxit,
                         min_mu=min_mu, **wkw)
-                mu_red = sf[None, :] * jnp.exp(fit_red["beta"]
-                                               @ x_reduced.T)
+                mu_red = nf_b * jnp.exp(fit_red["beta"] @ x_reduced.T)
                 ll_red = nb_loglik(y_safe, mu_red, dispersion, w_loc)
+                out["beta_iter_reduced"] = fit_red["iter"]
             out["ll_full"] = ll_full
             out["ll_reduced"] = ll_red
             out["deviance"] = -2.0 * ll_full
@@ -564,7 +613,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             cvec = jnp.zeros(pe, dtype).at[1].set(-1.0).at[pe - 1].set(1.0)
 
         def chain_prior(y_safe, norm_c, all_zero_l, disp_l, v_,
-                        w_raw=None):
+                        w_raw=None, nf_loc=None):
             """Expanded-matrix ridge refit + default contrast
             (fitGLMsWithPrior R/fitNbinomGLMs.R:292-332; contrast num/den
             from the sandwich as getContrast's maxit=0 fitBeta re-entry,
@@ -584,14 +633,17 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                 [b0c[:, None],
                  jnp.zeros((y_safe.shape[0], n_lvls), dtype)], axis=1)
             if _use_pallas_irls(S, pe, dtype) and w_loc is None:
-                fit = fit_beta_pallas(y_safe, x_exp, sf, disp_l, binit,
+                fit = fit_beta_pallas(y_safe, x_exp,
+                                      sf if nf_loc is None else nf_loc,
+                                      disp_l, binit,
                                       lam_e, maxit=maxit, min_mu=min_mu)
             else:
                 wk = {} if w_loc is None else dict(weights=w_loc,
                                                   use_weights=True)
                 fit = _fit_beta_core(
                     y_safe, x_exp,
-                    jnp.broadcast_to(sf[None, :], y_safe.shape), disp_l,
+                    jnp.broadcast_to(sf[None, :] if nf_loc is None
+                                     else nf_loc, y_safe.shape), disp_l,
                     binit, lam_e, maxit=maxit, min_mu=min_mu, **wk)
             mu_cl = fit["mu"]           # clamped kernel mu (cpp post-fit)
             w = mu_cl / (1.0 + disp_l[:, None] * mu_cl)
@@ -603,15 +655,31 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             sigma = Ainv @ xtwx @ Ainv
             num = fit["beta"] @ cvec
             den = jnp.sqrt(jnp.einsum("i,gij,j->g", cvec, sigma, cvec))
+            # deviance of the final (prior) fit at unclamped mu — the
+            # host's deviance column in betaPrior mode (wald.py:171)
+            mu_e = (sf[None, :] if nf_loc is None else nf_loc) \
+                * jnp.exp(fit["beta"] @ x_exp.T)
+            ll_e = nb_loglik(y_safe, mu_e, disp_l, w_loc)
             return dict(beta_e=fit["beta"], beta_var_e=fit["beta_var"],
-                        iter_e=fit["iter"], num=num, den=den)
+                        iter_e=fit["iter"], num=num, den=den,
+                        deviance_e=-2.0 * ll_e)
 
     # ======== main path ========
 
+    est_args, est_specs = [y], [gP]
     if use_w:
-        est = smap(chain_gene_est, (gP, gP))(y, weights)
-    else:
-        est = smap(chain_gene_est, (gP,))(y)
+        est_args.append(weights)
+        est_specs.append(gP)
+    if use_nf:
+        est_args.append(nfm)
+        est_specs.append(gP)
+
+    def _est_wrap(y_loc, *rest):
+        w_l = rest[0] if use_w else None
+        n_l = rest[1 if use_w else 0] if use_nf else None
+        return chain_gene_est(y_loc, w_l, n_l)
+
+    est = smap(_est_wrap, tuple(est_specs))(*est_args)
     base_mean, base_var = est["base_mean"], est["base_var"]
     all_zero, disp_gene_est = est["all_zero"], est["disp_gene_est"]
 
@@ -636,6 +704,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     beta_nat, beta_var = post["beta"], post["beta_var"]
     beta_iter, mu, hat = post["beta_iter"], post["mu"], post["hat"]
     deviance = post["deviance"]
+    disp_gene_iter, disp_iter = est["disp_gene_iter"], post["disp_iter"]
 
     out = dict(trendCoefs=coefs, dispPriorVar=disp_prior_var,
                varLogDispEsts=var_log_disp)
@@ -657,14 +726,25 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                for c_ in qcols]
         prior_v = sum(vs_) / len(vs_)   # averagePriorsOverLevels mean
         out["betaPriorVar"] = prior_v
+        # MLE betas on the standard matrix (the MLE_ results columns,
+        # R/fitNbinomGLMs.R:272-278)
+        out["mleBeta"] = jnp.where(all_zero[:, None], jnp.nan, mle_log2)
+        pr_args = [est["y_safe"], est["norm_c"], all_zero, dispersion,
+                   prior_v]
+        pr_specs = [gP, gP, gP, gP, rP]
         if use_w:
-            pr = smap(chain_prior, (gP, gP, gP, gP, rP, gP))(
-                est["y_safe"], est["norm_c"], all_zero, dispersion,
-                prior_v, weights)
-        else:
-            pr = smap(chain_prior, (gP, gP, gP, gP, rP))(
-                est["y_safe"], est["norm_c"], all_zero, dispersion,
-                prior_v)
+            pr_args.append(weights)
+            pr_specs.append(gP)
+        if use_nf:
+            pr_args.append(nfm)
+            pr_specs.append(gP)
+
+        def _prior_wrap(y_s, nc, az, dl, v_, *rest):
+            w_l = rest[0] if use_w else None
+            n_l = rest[1 if use_w else 0] if use_nf else None
+            return chain_prior(y_s, nc, az, dl, v_, w_l, n_l)
+
+        pr = smap(_prior_wrap, tuple(pr_specs))(*pr_args)
 
     # ======== Cook's distances + outlier replacement/refit ========
     replace = jnp.zeros(G, bool)
@@ -676,7 +756,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         from .cooksdev import (cooks_distance_dev, max_cooks_dev,
                                trimmed_mean_dev)
         cutoff99 = float(f_dist.ppf(0.99, p, S - p))
-        norm_counts = y / sf[None, :]
+        nf_full_b = sf[None, :] if not use_nf else nfm
+        norm_counts = y / nf_full_b
         # nbinomWaldTest refreshes objectNZ's mu before Cook's; nbinomLRT
         # does not, so LRT Cook's sees the gene-est mu (R/core.R:1436 vs
         # 1888/1959)
@@ -692,7 +773,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             with_outlier = cooks > cutoff99            # NaN -> False
             replace = jnp.any(with_outlier, axis=1) & ~all_zero
             trim_base = trimmed_mean_dev(norm_counts, 0.2)
-            replacement = jnp.trunc(trim_base[:, None] * sf[None, :])
+            replacement = jnp.trunc(trim_base[:, None] * nf_full_b)
             repl_cols = jnp.asarray(replaceable_np)[None, :]
             y_new = jnp.where(with_outlier & repl_cols, replacement, y)
             new_all_zero = jnp.sum(y_new, axis=1) == 0
@@ -703,7 +784,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             # for every gene when any row was replaced (R/core.R:2508);
             # values only change for replaced rows
             any_replace = jnp.any(replace)
-            norm_new = y_new / sf[None, :]
+            norm_new = y_new / nf_full_b
             if use_w:
                 norm_new = weights * norm_new  # weighted base stats
             base_mean = jnp.where(replace & any_replace,
@@ -716,12 +797,12 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             # --- refit dispersions + GLM on replaced rows only, with the
             # frozen trend/prior (refitWithoutOutliers R/core.R:2497-2560)
             def chain_refit(y_new_loc, need_loc, tmpl, c0, c1, pv, vld,
-                            pv_beta, w_full=None):
+                            pv_beta, w_full=None, nf_full=None):
                 g_local = y_new_loc.shape[0]
                 capg = straggler_capacity(g_local, frac=8, floor=2048)
 
-                def refit_block(y_blk, w_blk):
-                    est2 = chain_gene_est(y_blk, w_blk)
+                def refit_block(y_blk, w_blk, nf_blk):
+                    est2 = chain_gene_est(y_blk, w_blk, nf_blk)
                     post2 = chain_post_trend(est2, c0, c1, pv, vld)
                     cooks2 = cooks_distance_dev(
                         y_blk, est2["norm_c"],
@@ -731,8 +812,10 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                                        cooks2)
                     d = dict(
                         disp_gene_est=est2["disp_gene_est"],
+                        disp_gene_iter=est2["disp_gene_iter"],
                         disp_fit=post2["disp_fit"],
                         disp_map=post2["disp_map"],
+                        disp_iter=post2["disp_iter"],
                         disp_outlier=post2["disp_outlier"],
                         dispersion=post2["dispersion"],
                         beta=post2["beta"], beta_var=post2["beta_var"],
@@ -742,6 +825,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                     if lrt:
                         d["ll_full"] = post2["ll_full"]
                         d["ll_reduced"] = post2["ll_reduced"]
+                        d["beta_iter_reduced"] = post2["beta_iter_reduced"]
                     if contrast is not None and not beta_prior:
                         d["num"] = post2["num"]
                         d["den"] = post2["den"]
@@ -752,11 +836,12 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         pr2 = chain_prior(est2["y_safe"], est2["norm_c"],
                                           est2["all_zero"],
                                           post2["dispersion"], pv_beta,
-                                          w_blk)
+                                          w_blk, nf_blk)
                         d.update(beta_e=pr2["beta_e"],
                                  beta_var_e=pr2["beta_var_e"],
                                  iter_e=pr2["iter_e"],
-                                 num=pr2["num"], den=pr2["den"])
+                                 num=pr2["num"], den=pr2["den"],
+                                 deviance_e=pr2["deviance_e"])
                     return d
 
                 def splice(new, sel):
@@ -766,7 +851,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         for k in tmpl}
 
                 def full_fn(_):
-                    return splice(refit_block(y_new_loc, w_full),
+                    return splice(refit_block(y_new_loc, w_full, nf_full),
                                   need_loc)
 
                 def none_fn(_):
@@ -780,7 +865,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                     idx = compact_live_indices(need_loc, capg)
                     new_c = refit_block(
                         y_new_loc[idx],
-                        None if w_full is None else w_full[idx])
+                        None if w_full is None else w_full[idx],
+                        None if nf_full is None else nf_full[idx])
                     sel = need_loc[idx]
                     out_c = {}
                     for k in tmpl:
@@ -797,7 +883,9 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                                            operand=None), operand=None)
 
             tmpl = dict(disp_gene_est=disp_gene_est,
+                        disp_gene_iter=est["disp_gene_iter"],
                         disp_fit=disp_fit, disp_map=disp_map,
+                        disp_iter=post["disp_iter"],
                         disp_outlier=disp_outlier, dispersion=dispersion,
                         beta=beta_nat, beta_var=beta_var,
                         beta_iter=beta_iter, mu=mu, hat=hat,
@@ -805,41 +893,57 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             if lrt:
                 tmpl["ll_full"] = post["ll_full"]
                 tmpl["ll_reduced"] = post["ll_reduced"]
+                tmpl["beta_iter_reduced"] = post["beta_iter_reduced"]
             if contrast is not None and not beta_prior:
                 tmpl["num"] = post["num"]
                 tmpl["den"] = post["den"]
             if beta_prior:
                 tmpl.update(beta_e=pr["beta_e"], beta_var_e=pr["beta_var_e"],
                             iter_e=pr["iter_e"], num=pr["num"],
-                            den=pr["den"])
+                            den=pr["den"], deviance_e=pr["deviance_e"])
             refit_args = (y_new, need, tmpl, coefs[0], coefs[1],
                           disp_prior_var, var_log_disp,
                           prior_v if beta_prior else jnp.asarray(0.0,
                                                                  dtype))
             refit_specs = (gP, gP, {k: gP for k in tmpl}, rP, rP, rP, rP,
                            rP)
+            refit_extra, extra_specs = [], ()
             if use_w:
-                spl = smap(chain_refit, refit_specs + (gP,))(
-                    *refit_args, weights)
-            else:
-                spl = smap(chain_refit, refit_specs)(*refit_args)
+                refit_extra.append(weights)
+                extra_specs += (gP,)
+            if use_nf:
+                refit_extra.append(nfm)
+                extra_specs += (gP,)
+
+            def _refit_wrap(*a):
+                base, rest = a[:8], a[8:]
+                w_l = rest[0] if use_w else None
+                n_l = rest[1 if use_w else 0] if use_nf else None
+                return chain_refit(*base, w_l, n_l)
+
+            spl = smap(_refit_wrap, refit_specs + extra_specs)(
+                *refit_args, *refit_extra)
             disp_gene_est = spl["disp_gene_est"]
+            disp_gene_iter = spl["disp_gene_iter"]
             disp_fit, disp_map = spl["disp_fit"], spl["disp_map"]
+            disp_iter = spl["disp_iter"]
             disp_outlier, dispersion = (spl["disp_outlier"],
                                         spl["dispersion"])
             beta_nat, beta_var = spl["beta"], spl["beta_var"]
             beta_iter, mu, hat = spl["beta_iter"], spl["mu"], spl["hat"]
             deviance = spl["deviance"]
+            out["replaceCounts"] = y_new
             if lrt:
                 post = dict(post, ll_full=spl["ll_full"],
-                            ll_reduced=spl["ll_reduced"])
+                            ll_reduced=spl["ll_reduced"],
+                            beta_iter_reduced=spl["beta_iter_reduced"])
             if contrast is not None and not beta_prior:
                 post = dict(post, num=spl["num"], den=spl["den"])
             if beta_prior:
                 pr = dict(beta_e=spl["beta_e"],
                           beta_var_e=spl["beta_var_e"],
                           iter_e=spl["iter_e"], num=spl["num"],
-                          den=spl["den"])
+                          den=spl["den"], deviance_e=spl["deviance_e"])
 
             # maxCooks after refit (R/core.R:2540-2551), only when a
             # refit actually ran (some replaced row is not newly zero):
@@ -878,7 +982,11 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         from jax.scipy.special import gammaincc
         df = p - (1 if reduced_intercept else x_reduced.shape[1])
         lrt_stat = 2.0 * (post["ll_full"] - post["ll_reduced"])
-        lrt_p = gammaincc(jnp.asarray(df / 2.0, dtype), lrt_stat / 2.0)
+        # R's pchisq gives p=1 for stat <= 0 (slightly negative stats
+        # happen when the ridge-penalized full fit undercuts ~1);
+        # gammaincc would return NaN for a negative argument
+        lrt_p = gammaincc(jnp.asarray(df / 2.0, dtype),
+                          jnp.maximum(lrt_stat, 0.0) / 2.0)
         stat_last = jnp.where(all_zero, jnp.nan, lrt_stat)
         p_last = jnp.where(all_zero, jnp.nan, lrt_p)
         out["LRTStatistic"] = stat_last
@@ -924,6 +1032,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         wald_stat = beta_log2 / se_log2
         wald_p = two_sided_p(wald_stat)
         beta_iter = pr["iter_e"]
+        deviance = pr["deviance_e"]
     elif contrast is not None:
         # arbitrary contrast at fused speed (getContrast equivalent)
         lfc_last = jnp.where(all_zero, jnp.nan, LOG2E * post["num"])
@@ -970,9 +1079,14 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         valid_genes=valid_genes)
 
     nanmask = lambda v: jnp.where(all_zero, jnp.nan, v)
+    if estimate_sf:
+        out["sizeFactors"] = sf
+    if lrt:
+        out["betaIterReduced"] = post["beta_iter_reduced"]
     out.update(
         baseMean=base_mean, baseVar=base_var, allZero=all_zero,
         dispGeneEst=nanmask(disp_gene_est), dispFit=nanmask(disp_fit),
+        dispGeneIter=disp_gene_iter, dispIter=disp_iter,
         dispersion=nanmask(dispersion), dispMAP=nanmask(disp_map),
         dispOutlier=disp_outlier & ~all_zero,
         beta=jnp.where(all_zero[:, None], jnp.nan, beta_log2),
@@ -1021,10 +1135,16 @@ def _reduced_args(reduced):
 def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                       min_disp=1e-8, cells=None, two_group=False,
                       alpha=0.1, reduced=None, beta_prior=False,
-                      contrast=None, use_t=False, weights=None):
+                      contrast=None, use_t=False, weights=None,
+                      norm_factors=None, min_replicates=7):
     # (gene padding to the device count is masked out of the filtering
     # quantiles via valid_genes)
-    """Run the fused pipeline with the genes axis sharded over `mesh`."""
+    """Run the fused pipeline with the genes axis sharded over `mesh`.
+
+    `size_factors=None` estimates median-of-ratios factors on device
+    (the nanmedian over the sharded genes axis all-gathers G scalars per
+    sample — the same cross-gene order-statistic cost class as the
+    filtering quantiles)."""
     import numpy as np
     from .sharding import pad_to_multiple, replicated, shard_genes
 
@@ -1037,8 +1157,16 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
     if weights is not None:
         w_p, _ = pad_to_multiple(np.asarray(weights, np.float64), n_dev, 1.0)
         weights_d = jax.device_put(w_p, gshard)
+    nf_d = None
+    if norm_factors is not None:
+        nf_p, _ = pad_to_multiple(np.asarray(norm_factors, np.float64),
+                                  n_dev, 1.0)
+        nf_d = jax.device_put(nf_p, gshard)
     x_d = jax.device_put(np.asarray(x, dtype=np.float64), rep)
-    sf_d = jax.device_put(np.asarray(size_factors, dtype=np.float64), rep)
+    estimate_sf = size_factors is None and norm_factors is None
+    sf_host = (np.ones(np.shape(counts)[1]) if size_factors is None
+               else np.asarray(size_factors, dtype=np.float64))
+    sf_d = jax.device_put(sf_host, rep)
     grid = np.linspace(np.log(min_disp),
                        np.log(max(10.0, counts.shape[1])), 20)
     grid_d = jax.device_put(grid, rep)
@@ -1050,20 +1178,23 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
     out = fused_wald_pipeline(counts_d, x_d, sf_d, grid_d, maxit=maxit,
                               mesh=mesh if n_dev > 1 else None,
                               cells=cells, two_group=two_group, alpha=alpha,
+                              min_replicates=min_replicates,
                               x_reduced=x_red, reduced_intercept=red_int,
                               linear_mu=lin_mu, beta_prior=beta_prior,
                               contrast=contrast, use_t=use_t,
                               valid_genes=G if counts_p.shape[0] != G
-                              else None, weights=weights_d)
-    return {k: np.asarray(v)[:G] if np.ndim(v) and np.shape(v)[0] ==
-            counts_p.shape[0] else np.asarray(v) for k, v in out.items()}
+                              else None, weights=weights_d,
+                              norm_factors=nf_d, estimate_sf=estimate_sf)
+    return {k: np.asarray(v)[:G] if np.ndim(v) and k != "sizeFactors"
+            and np.shape(v)[0] == counts_p.shape[0] else np.asarray(v)
+            for k, v in out.items()}
 
 
-def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
+def fused_results(counts, x, size_factors=None, maxit=100, min_disp=1e-8,
                   alpha=0.1, independent_filtering=True, mesh=None,
                   two_group=False, min_replicates=7, devices=None,
                   reduced=None, beta_prior=False, contrast=None,
-                  use_t=False, weights=None):
+                  use_t=False, weights=None, norm_factors=None):
     """Full DESeq results via the fused pipeline.
 
     Equivalent of deseq() + results() for the default bulk configuration
@@ -1084,7 +1215,12 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
     getAndCheckWeights; degenerate rows are refused with guidance),
     then the full reference weight semantics run on device.  The
     weighted results are decision-equivalent, not bit-identical, to the
-    host path (see tests/test_fused_exact.py::_decision_cmp)."""
+    host path (see tests/test_fused_exact.py::_decision_cmp).
+    `size_factors=None` estimates median-of-ratios factors on device
+    inside the fused program (R/core.R:535-578) — the headline metric
+    is then the literal full DESeq(); `norm_factors`: optional (G,S)
+    gene x sample normalization factors (tximport/avgTxLength datasets,
+    R/methods.R:286-361) which replace size factors on every path."""
     import numpy as np
     from ..results import choose_filter_theta
 
@@ -1097,19 +1233,27 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
     if weights is not None:
         weights = _validated_weights(np.asarray(weights, np.float64),
                                      x_np)
+    if norm_factors is not None and np.shape(norm_factors) != \
+            np.shape(counts):
+        raise ValueError("norm_factors must match the counts shape "
+                         "(genes x samples)")
     if mesh is not None:
         out = run_fused_sharded(np.asarray(counts), x_np, size_factors,
                                 mesh, maxit=maxit, min_disp=min_disp,
                                 cells=cells, two_group=two_group,
                                 alpha=alpha, reduced=reduced,
                                 beta_prior=beta_prior, contrast=contrast,
-                                use_t=use_t, weights=weights)
+                                use_t=use_t, weights=weights,
+                                norm_factors=norm_factors)
     else:
         x_red, red_int = _reduced_args(reduced)
         lin_mu = len(set(cells)) == x_np.shape[1]
+        estimate_sf = size_factors is None and norm_factors is None
+        sf_in = (np.ones(np.shape(counts)[1]) if size_factors is None
+                 else np.asarray(size_factors))
         # counts may already live on device — jnp.asarray is then a no-op
         out = fused_wald_pipeline(jnp.asarray(counts), jnp.asarray(x_np),
-                                  jnp.asarray(np.asarray(size_factors)),
+                                  jnp.asarray(sf_in),
                                   jnp.asarray(grid), maxit=maxit,
                                   cells=cells, two_group=two_group,
                                   alpha=alpha,
@@ -1119,7 +1263,10 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                                   linear_mu=lin_mu, beta_prior=beta_prior,
                                   contrast=contrast, use_t=use_t,
                                   weights=None if weights is None
-                                  else jnp.asarray(weights))
+                                  else jnp.asarray(weights),
+                                  norm_factors=None if norm_factors is None
+                                  else jnp.asarray(norm_factors),
+                                  estimate_sf=estimate_sf)
 
     # two host round-trips total: the 50-scalar filtering stats (to pick
     # the lowess cutoff), then one batched device_get of all columns —
@@ -1129,7 +1276,7 @@ def fused_results(counts, x, size_factors, maxit=100, min_disp=1e-8,
                 lfcSE=out["seLast"], stat=out["statLast"],
                 pvalue=out["pvalueLast"])
     for k in ("dispGeneEst", "dispFit", "dispersion", "maxCooks",
-              "replace", "betaConv", "allZero"):
+              "replace", "betaConv", "allZero", "sizeFactors"):
         if k in out:
             cols[k] = out[k]
     if independent_filtering:

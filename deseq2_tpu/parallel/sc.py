@@ -972,8 +972,9 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
             from jax.scipy.special import gammaincc
             df = p - 1
             lrt_stat = 2.0 * (glm["ll_full"] - glm["ll_reduced"])
+            # pchisq semantics: stat <= 0 -> p = 1 (gammaincc would NaN)
             p_chi = gammaincc(jnp.asarray(df / 2.0, dtype),
-                              lrt_stat / 2.0)
+                              jnp.maximum(lrt_stat, 0.0) / 2.0)
             stat_last = jnp.where(all_zero, jnp.nan, lrt_stat)
             p_last = jnp.where(all_zero, jnp.nan, p_chi)
         out["LRTStatistic"] = jnp.where(all_zero, jnp.nan, stat_last)

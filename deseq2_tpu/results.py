@@ -281,18 +281,23 @@ def results(dds, contrast=None, name=None, lfc_threshold=0.0,
             cooks_outlier = dds.row_data.get("maxCooks") > cooks_cutoff
         cooks_outlier = np.where(np.isnan(dds.row_data.get("maxCooks")),
                                  False, cooks_outlier).astype(bool)
-        # two-group heuristic: don't filter if >=3 counts exceed the outlier
+        # two-group heuristic: don't filter if >=3 counts exceed the
+        # outlier (vectorized: the cooks assay may be device-resident
+        # after a fused-engine run — one gather instead of a fetch per
+        # flagged row)
         if np.any(cooks_outlier) and not isinstance(dds.design, np.ndarray):
             dvars = dds.design.variables
             if len(dvars) == 1 and isinstance(dds.col_data.get(dvars[0]),
                                               Factor) \
                     and dds.col_data[dvars[0]].nlevels == 2:
-                cooks = dds.assays["cooks"]
                 idxs = np.where(cooks_outlier)[0]
-                for ii in idxs:
-                    out_count = dds.counts[ii, np.nanargmax(cooks[ii])]
-                    if np.sum(dds.counts[ii] > out_count) >= 3:
-                        cooks_outlier[ii] = False
+                cooks_rows = np.asarray(dds.assays["cooks"][idxs],
+                                        dtype=float)
+                counts_rows = np.asarray(dds.counts[idxs])
+                jmax = np.nanargmax(cooks_rows, axis=1)
+                out_count = counts_rows[np.arange(len(idxs)), jmax]
+                unmask = (counts_rows > out_count[:, None]).sum(axis=1) >= 3
+                cooks_outlier[idxs[unmask]] = False
         res.pvalue = np.where(cooks_outlier, np.nan, res.pvalue)
 
     # replaced-to-zero rows (R/results.R:567-575)
@@ -388,10 +393,45 @@ def choose_filter_theta(theta, num_rej):
     return j, lx, lo_fit_y
 
 
+def _device_filtering(res, alpha):
+    """Run the independent-filtering theta grid on device
+    (parallel/filterdev.py) for large G on an accelerator backend —
+    the host loop of 50 per-cutoff BH sorts is the only O(G log G x 50)
+    piece of results() and would otherwise dominate a fused-engine
+    deseq()+results() call.  Semantics identical to filtered_p +
+    choose_filter_theta (equivalence pinned by tests/test_sharding.py's
+    filterdev tests)."""
+    import jax
+    from .parallel.filterdev import filtered_bh_dev, theta_grid_dev
+
+    p_d = jnp.asarray(res.pvalue)
+    bm_d = jnp.asarray(res.base_mean)
+    theta_d = theta_grid_dev(bm_d)
+    filt_padj, num_rej, cutoffs = filtered_bh_dev(
+        p_d, bm_d, theta_d, jnp.asarray(alpha, p_d.dtype))
+    small = jax.device_get(dict(num_rej=num_rej, theta=theta_d,
+                                cutoffs=cutoffs))
+    j, lx, lo_fit_y = choose_filter_theta(small["theta"],
+                                          small["num_rej"])
+    res.padj = np.asarray(filt_padj[j], dtype=float)
+    res.metadata["filterThreshold"] = float(small["cutoffs"][j])
+    res.metadata["filterTheta"] = float(small["theta"][j])
+    res.metadata["filterNumRej"] = dict(theta=small["theta"],
+                                        numRej=small["num_rej"])
+    res.metadata["lo.fit"] = dict(x=lx, y=lo_fit_y)
+    res.metadata["alpha"] = alpha
+    return res
+
+
 def pvalue_adjustment(res, independent_filtering, filter, theta, alpha,
                       p_adjust_method="BH"):
     """(reference pvalueAdjustment, R/results.R:638-718)"""
     if independent_filtering:
+        if (filter is None and theta is None and p_adjust_method == "BH"
+                and len(res.pvalue) >= 16384):
+            import jax
+            if jax.default_backend() != "cpu":
+                return _device_filtering(res, alpha)
         if filter is None:
             filter = res.base_mean
         if theta is None:

@@ -1,0 +1,161 @@
+"""Public-API fused engine routing (VERDICT r3 item 1).
+
+deseq(engine="fused") must populate the dataset column-for-column
+identically to the host-exact path (same names, descriptions, assays,
+attrs) so that results()/summary() work unchanged, and deseq(engine=
+"auto") must fall back to the host path transparently for ineligible
+configurations.  Reference: one DESeq() entry point, R/core.R:280-432.
+"""
+
+import numpy as np
+import pytest
+
+import deseq2_tpu as dt
+
+
+def _cmp_dds(h, f, rtol=1e-9, atol=1e-12, skip=()):
+    assert set(h.row_data) == set(f.row_data), \
+        set(h.row_data) ^ set(f.row_data)
+    assert h.row_meta == f.row_meta          # types AND descriptions
+    for k in sorted(h.row_data):
+        if k in skip:
+            continue
+        va, vb = np.asarray(h.row_data[k]), np.asarray(f.row_data[k])
+        if va.dtype.kind == "b":
+            assert np.array_equal(va, vb), k
+            continue
+        va = va.astype(float)
+        vb = vb.astype(float)
+        assert np.array_equal(np.isnan(va), np.isnan(vb)), k
+        m = ~np.isnan(va)
+        np.testing.assert_allclose(va[m], vb[m], rtol=rtol, atol=atol,
+                                   err_msg=k)
+
+
+def _cmp_results(rh, rf, rtol=1e-9):
+    for k in ("baseMean", "log2FoldChange", "lfcSE", "stat", "pvalue",
+              "padj"):
+        a = np.asarray(rh[k], float)
+        b = np.asarray(rf[k], float)
+        assert np.array_equal(np.isnan(a), np.isnan(b)), k
+        m = ~np.isnan(a)
+        np.testing.assert_allclose(a[m], b[m], rtol=rtol, atol=1e-12,
+                                   err_msg=k)
+
+
+def test_engine_wald_default():
+    dds = dt.make_example_dataset(n=400, m=12, beta_sd=1.0, seed=42)
+    h = dt.deseq(dds, engine="host")
+    f = dt.deseq(dds, engine="fused")
+    _cmp_dds(h, f)
+    assert f.attrs["engine"] == "fused"
+    assert h.results_names() == f.results_names()
+    _cmp_results(dt.results(h), dt.results(f))
+    # summary() works on the fused-routed object
+    assert "nonzero total read count" in dt.results(f).summary(quiet=True)
+
+
+def test_engine_lrt():
+    dds = dt.make_example_dataset(n=300, m=12, beta_sd=1.0, seed=5)
+    h = dt.deseq(dds, test="LRT", reduced="~ 1", engine="host")
+    f = dt.deseq(dds, test="LRT", reduced="~ 1", engine="fused")
+    _cmp_dds(h, f)
+    _cmp_results(dt.results(h), dt.results(f))
+
+
+def test_engine_beta_prior():
+    dds = dt.make_example_dataset(n=300, m=12, beta_sd=1.0, seed=5)
+    h = dt.deseq(dds, beta_prior=True, engine="host")
+    f = dt.deseq(dds, beta_prior=True, engine="fused")
+    _cmp_dds(h, f, rtol=1e-8)
+    np.testing.assert_allclose(h.attrs["betaPriorVar"],
+                               f.attrs["betaPriorVar"], rtol=1e-9)
+    _cmp_results(dt.results(h), dt.results(f), rtol=1e-8)
+    # addMLE pulls the MLE_ columns written by the fused route
+    r = dt.results(f, contrast=("condition", "B", "A"), add_mle=True)
+    assert np.isfinite(r["lfcMLE"]).any()
+
+
+def test_engine_use_t_and_weights():
+    dds = dt.make_example_dataset(n=200, m=10, beta_sd=1.0, seed=9)
+    h = dt.deseq(dds, use_t=True, engine="host")
+    f = dt.deseq(dds, use_t=True, engine="fused")
+    _cmp_dds(h, f)
+    rng = np.random.default_rng(2)
+    dds.assays["weights"] = np.clip(rng.random((200, 10)) + 0.3, 0, 1)
+    hw = dt.deseq(dds, engine="host")
+    fw = dt.deseq(dds, engine="fused")
+    # weighted fits are decision-equivalent (line-search stopping noise,
+    # see test_fused_exact), not bit-identical
+    _cmp_dds(hw, fw, rtol=1e-4, skip=("dispGeneIter", "dispIter",
+                                      "betaIter"))
+
+
+def test_engine_outlier_refit_and_contrast_reentry():
+    dds = dt.make_example_dataset(n=300, m=14, beta_sd=1.0, seed=7)
+    c = np.asarray(dds.counts).copy()
+    rng = np.random.default_rng(3)
+    for i in rng.choice(300, 8, replace=False):
+        c[i, int(rng.integers(14))] = int(c[i].mean() * 40 + 500)
+    dds.counts[:] = c
+    h = dt.deseq(dds, engine="host")
+    f = dt.deseq(dds, engine="fused")
+    _cmp_dds(h, f)
+    assert np.array_equal(
+        np.asarray(h.assays["replaceCounts"]),
+        np.asarray(f.assays["replaceCounts"], dtype=np.int64))
+    _cmp_results(dt.results(h), dt.results(f))
+    # novel numeric contrast re-enters the maxit=0 kernel with the
+    # fused-populated state (getContrast, R/results.R:760-827)
+    rh = dt.results(h, contrast=np.array([0.0, 1.0]))
+    rf = dt.results(f, contrast=np.array([0.0, 1.0]))
+    _cmp_results(rh, rf, rtol=1e-8)
+
+
+def test_engine_norm_factors():
+    dds = dt.make_example_dataset(n=250, m=12, beta_sd=1.0, seed=11)
+    nf = np.exp(np.random.default_rng(5).normal(0, 0.2, dds.counts.shape))
+    nf = nf / np.exp(np.mean(np.log(nf), axis=1))[:, None]
+    dds.normalization_factors = nf
+    h = dt.deseq(dds, engine="host")
+    f = dt.deseq(dds, engine="fused")
+    _cmp_dds(h, f, rtol=1e-7)
+
+
+def test_engine_estimates_size_factors_on_device():
+    dds = dt.make_example_dataset(n=300, m=12, beta_sd=1.0, seed=3)
+    f = dt.deseq(dds, engine="fused")
+    h = dt.estimate_size_factors(dds)
+    np.testing.assert_allclose(f.size_factors, h.size_factors,
+                               rtol=1e-12)
+
+
+def test_engine_fallback_and_forcing():
+    dds = dt.make_example_dataset(n=120, m=8, beta_sd=1.0, seed=2)
+    # ineligible: glmGamPoi fit type -> forced fused raises with reason
+    with pytest.raises(ValueError, match="engine='fused' unavailable"):
+        dt.deseq(dds, test="LRT", reduced="~ 1", fit_type="glmGamPoi",
+                 engine="fused")
+    # auto falls back transparently (host path result)
+    f = dt.deseq(dds, test="LRT", reduced="~ 1", fit_type="glmGamPoi",
+                 engine="auto")
+    assert f.attrs.get("engine") != "fused"
+    # non-default config falls back too
+    cfgd = dt.DESeqConfig(maxit_beta=50)
+    with pytest.raises(ValueError, match="config"):
+        dt.deseq(dds, config=cfgd, engine="fused")
+    # bad engine string
+    with pytest.raises(ValueError, match="engine"):
+        dt.deseq(dds, engine="warp")
+
+
+def test_engine_mesh_matches_single():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from deseq2_tpu.parallel.sharding import gene_mesh
+    dds = dt.make_example_dataset(n=203, m=12, beta_sd=1.0, seed=21)
+    one = dt.deseq(dds, engine="fused")
+    shd = dt.deseq(dds, engine="fused", mesh=gene_mesh(8))
+    _cmp_dds(one, shd, rtol=1e-10)
+    _cmp_results(dt.results(one), dt.results(shd), rtol=1e-10)

@@ -376,3 +376,74 @@ def test_fused_weights_rejects_degenerate_rows():
     with pytest.raises(ValueError, match="weightsFail"):
         fused_results(np.asarray(dds.counts), dds.model_matrix()[0],
                       np.ones(12), two_group=True, weights=w)
+
+
+def test_fused_norm_factors_matches_host():
+    """Gene x sample normalization factors (the tximport/avgTxLength
+    contract, R/methods.R:286-361, src/DESeq2.cpp:324-327) keep the
+    fused fast path and match the host exact path column-for-column."""
+    dds = dt.make_example_dataset(n=250, m=12, beta_sd=1.0, seed=11)
+    rng = np.random.default_rng(5)
+    nf = np.exp(rng.normal(0.0, 0.2, dds.counts.shape))
+    nf = nf / np.exp(np.mean(np.log(nf), axis=1))[:, None]
+    dds.normalization_factors = nf
+    dds = dt.deseq(dds)
+    res = dt.results(dds)
+    fres = fused_results(np.asarray(dds.counts), dds.attrs["modelMatrix"],
+                         None, norm_factors=nf, two_group=True)
+    for k in ("baseMean", "log2FoldChange", "lfcSE", "stat", "pvalue",
+              "padj"):
+        _cmp(res[k], fres[k], f"nf {k}", rtol=1e-8)
+    _cmp(dds.row_data["dispGeneEst"], fres["dispGeneEst"],
+         "nf dispGeneEst", rtol=1e-8)
+    _cmp(dds.row_data["dispersion"], fres["dispersion"], "nf dispersion",
+         rtol=1e-8)
+    _cmp(dds.row_data["maxCooks"], fres["maxCooks"], "nf maxCooks",
+         rtol=1e-8)
+
+
+def test_fused_norm_factors_lrt_and_sharded():
+    """nf + LRT, and nf on the 8-device mesh == single device."""
+    import jax
+    from deseq2_tpu.parallel.sharding import gene_mesh
+    dds = dt.make_example_dataset(n=181, m=10, beta_sd=1.0, seed=13)
+    rng = np.random.default_rng(7)
+    nf = np.exp(rng.normal(0.0, 0.15, dds.counts.shape))
+    nf = nf / np.exp(np.mean(np.log(nf), axis=1))[:, None]
+    dds.normalization_factors = nf
+    dds = dt.deseq(dds, test="LRT", reduced="~ 1")
+    res = dt.results(dds)
+    fres = fused_results(np.asarray(dds.counts), dds.attrs["modelMatrix"],
+                         None, norm_factors=nf, reduced="~ 1",
+                         two_group=True)
+    for k in ("log2FoldChange", "stat", "pvalue", "padj"):
+        _cmp(res[k], fres[k], f"nf LRT {k}", rtol=1e-6)
+    if len(jax.devices()) >= 8:
+        fshd = fused_results(np.asarray(dds.counts),
+                             dds.attrs["modelMatrix"], None,
+                             norm_factors=nf, reduced="~ 1",
+                             two_group=True, mesh=gene_mesh(8))
+        # nf adds a cross-gene reduction (xim = mean(1/colMeans(nf)),
+        # R/core.R:2440-2444) whose sharded summation order perturbs the
+        # dispersion init at f64 LSB; the line-search stopping rule
+        # amplifies that to ~1e-7 — unlike the sf-only configs which are
+        # 1e-10 shard-identical
+        for k in ("log2FoldChange", "stat", "pvalue", "padj"):
+            _cmp(fres[k], fshd[k], f"nf mesh {k}", rtol=3e-5)
+
+
+def test_fused_device_size_factors():
+    """size_factors=None: median-of-ratios computed on device inside
+    the fused program == host estimateSizeFactorsForMatrix
+    (R/core.R:535-578); downstream columns match the explicit-sf run
+    up to the sf LSB rounding (nanmedian vs np.median)."""
+    dds = dt.make_example_dataset(n=300, m=12, beta_sd=1.0, seed=11)
+    x = dds.model_matrix()[0]
+    counts = np.asarray(dds.counts)
+    out = fused_results(counts, x, None, two_group=True)
+    host = dt.estimate_size_factors(dds)
+    np.testing.assert_allclose(out["sizeFactors"], host.size_factors,
+                               rtol=1e-12)
+    out2 = fused_results(counts, x, host.size_factors, two_group=True)
+    for k in ("log2FoldChange", "pvalue", "padj", "dispersion"):
+        _cmp(out[k], out2[k], f"sfdev {k}", rtol=1e-6)
