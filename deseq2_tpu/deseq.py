@@ -148,7 +148,7 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
         if reason is None and want:
             with profiling.stage("deseqFused", genes=dds.counts.shape[0]):
                 routed = deseq_fused(
-                    dds, test=test, sf_type=sf_type,
+                    dds, test=test, fit_type=fit_type, sf_type=sf_type,
                     beta_prior=beta_prior, full=full, reduced=reduced,
                     quiet=quiet,
                     min_replicates_for_replace=min_replicates_for_replace,
@@ -190,10 +190,11 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
             warnings.warn(
                 f"design with covariates at {S_n} samples takes the "
                 "materializing host path (several (genes x samples) "
-                "intermediates). For single-cell scale use a group-only "
-                "design with parallel.sc.fused_sc_results (streamed, "
-                "fit_type='glmGamPoi'), pseudobulk the covariate, subset "
-                "cells, or shard the exact path over devices with "
+                "intermediates). For single-cell scale use the streamed "
+                "path: parallel.sc.fused_sc_results(design=model_matrix, "
+                "reduced_design=..., fit_type='glmGamPoi') handles "
+                "arbitrary small-p designs with (G,p) persistent state, "
+                "or shard the exact path over devices with "
                 "deseq(..., mesh=gene_mesh(n))")
 
     G = dds.counts.shape[0]

@@ -59,8 +59,8 @@ def fused_ineligibility(dds, test, fit_type, sf_type, beta_prior,
     from .config import DEFAULT, DESeqConfig
     from .formula import Factor
 
-    if fit_type != "parametric":
-        return f"fitType='{fit_type}' trend runs host-side"
+    if fit_type == "glmGamPoi":
+        return "glmGamPoi quasi-likelihood runs host-side"
     if sf_type == "iterate":
         return "sfType='iterate' alternates with dispersion fits host-side"
     if minmu is not None and minmu != 0.5:
@@ -111,8 +111,8 @@ def _two_group(dds):
             and dds.col_data[dvars[0]].nlevels == 2)
 
 
-def deseq_fused(dds, test="Wald", sf_type="ratio", beta_prior=False,
-                full=None, reduced=None, quiet=True,
+def deseq_fused(dds, test="Wald", fit_type="parametric", sf_type="ratio",
+                beta_prior=False, full=None, reduced=None, quiet=True,
                 min_replicates_for_replace=7, model_matrix=None,
                 model_matrix_type=None, use_t=False, mesh=None,
                 maxit=100):
@@ -204,7 +204,7 @@ def deseq_fused(dds, test="Wald", sf_type="ratio", beta_prior=False,
             np.asarray(dds.counts), mm, sf, mesh, maxit=maxit,
             cells=cells, two_group=False, reduced=reduced_mm,
             beta_prior=beta_prior, use_t=use_t, weights=weights,
-            norm_factors=nf, min_replicates=min_reps)
+            norm_factors=nf, min_replicates=min_reps, fit_type=fit_type)
         fetched = out
         device_assays = False
     else:
@@ -222,7 +222,7 @@ def deseq_fused(dds, test="Wald", sf_type="ratio", beta_prior=False,
             beta_prior=beta_prior, use_t=use_t,
             weights=None if weights is None else jnp.asarray(weights),
             norm_factors=None if nf is None else jnp.asarray(nf),
-            estimate_sf=estimate_sf_dev)
+            estimate_sf=estimate_sf_dev, fit_type=fit_type)
         # ONE batched fetch of every per-gene column; (G,S) assays stay
         # on device and download lazily if anything indexes them
         small = {k: v for k, v in out.items()
@@ -236,6 +236,24 @@ def deseq_fused(dds, test="Wald", sf_type="ratio", beta_prior=False,
 
     az = np.asarray(fetched["allZero"], bool)
 
+    # parametric trend failure -> automatic local refit, the host /
+    # reference fallback rule (R/core.R:888-893)
+    if fit_type == "parametric" and "trendValid" in fetched \
+            and not bool(np.asarray(fetched["trendValid"])):
+        if not quiet:
+            warnings.warn(
+                "the dispersion trend was not well captured by the "
+                "parametric function y = a/x + b; a local regression "
+                "fit was substituted")
+        return deseq_fused(dds, test=test, fit_type="local",
+                           sf_type=sf_type, beta_prior=beta_prior,
+                           full=full, reduced=reduced, quiet=quiet,
+                           min_replicates_for_replace=(
+                               min_replicates_for_replace),
+                           model_matrix=model_matrix,
+                           model_matrix_type=model_matrix_type,
+                           use_t=use_t, mesh=mesh, maxit=maxit)
+
     def napad(v, as_float=True):
         v = np.asarray(v, float) if as_float else np.asarray(v)
         return np.where(az, np.nan, v) if as_float else v
@@ -243,10 +261,24 @@ def deseq_fused(dds, test="Wald", sf_type="ratio", beta_prior=False,
     # ---- size factors / dispersion function state ----
     if estimate_sf_dev:
         dds.size_factors = np.asarray(fetched["sizeFactors"], float)
-    c0, c1 = np.asarray(fetched["trendCoefs"], float)
-    disp_fn = DispersionFunction(
-        lambda means, a=float(c0), b=float(c1): a + b / means,
-        "parametric", coefficients=np.array([c0, c1]))
+    if fit_type == "parametric":
+        c0, c1 = np.asarray(fetched["trendCoefs"], float)
+        disp_fn = DispersionFunction(
+            lambda means, a=float(c0), b=float(c1): a + b / means,
+            "parametric", coefficients=np.array([c0, c1]))
+    elif fit_type == "mean":
+        md = float(np.asarray(fetched["meanDisp"]))
+        disp_fn = DispersionFunction(
+            lambda m, v=md: np.full(np.shape(m), v) if np.ndim(m) else v,
+            "mean", mean=md)
+    else:   # local: lazy host evaluator over the same fit points
+        from .dispersions import local_dispersion_fit
+        bm = np.asarray(fetched["baseMean"], float)
+        dge = np.asarray(fetched["dispGeneEst"], float)
+        with np.errstate(invalid="ignore"):
+            use = (dge > 100 * 1e-8) & ~az & np.isfinite(dge)
+        fn_loc, _ = local_dispersion_fit(bm[use], dge[use], 1e-8)
+        disp_fn = DispersionFunction(fn_loc, "local")
     disp_fn.disp_prior_var = float(fetched["dispPriorVar"])
     disp_fn.var_log_disp_ests = float(fetched["varLogDispEsts"])
     dds.dispersion_function = disp_fn

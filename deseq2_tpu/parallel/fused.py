@@ -125,29 +125,157 @@ def _gamma_trend_fit(means, disps, use_mask):
         return a, b, conv
 
     def outer_body(state):
-        a, b, it, _ = state
+        a, b, it, _, _ = state
         mu = a + b * X1
         resid = jnp.where(use_mask, disps / mu, 0.0)
         good = use_mask & (resid > 1e-4) & (resid < 15.0)
         a_new, b_new, conv = inner_glm(a, b, good)
         delta = (jnp.log(jnp.abs(a_new / a)) ** 2
                  + jnp.log(jnp.abs(b_new / b)) ** 2)
-        done = ((delta < 1e-6) & conv) | (it >= 10)
         ok = (a_new > 0) & (b_new > 0)
-        return a_new, b_new, it + 1, done | ~ok
+        settled = (delta < 1e-6) & conv
+        done = settled | (it >= 10)
+        # host parity (parametricDispersionFit): non-positive coefs or
+        # >10 outer rounds without settling raise there -> auto local
+        # fallback (R/core.R:888-893); flagged here for the caller
+        valid = ok & (settled | (it < 10))
+        return a_new, b_new, it + 1, done | ~ok, valid
 
     def outer_cond(state):
         return ~state[3]
 
     init = (jnp.asarray(0.1, dtype), jnp.asarray(1.0, dtype),
-            jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    a, b, _, _ = jax.lax.while_loop(outer_cond, outer_body, init)
-    return jnp.stack([a, b])  # (asymptDisp, extraPois)
+            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            jnp.asarray(False))
+    a, b, _, _, valid = jax.lax.while_loop(outer_cond, outer_body, init)
+    return jnp.stack([a, b]), valid  # (asymptDisp, extraPois), validity
 
 
 def _masked_median(v, mask):
     big = jnp.where(mask, v, jnp.nan)
     return jnp.nanmedian(big)
+
+
+def _accurate_log(y):
+    """ulp-accurate log for the f32 fast path.
+
+    The TPU transcendental unit's f32 log carries ~1e-4 ABSOLUTE error
+    (measured on v5e; CPU f32 log is correctly rounded).  That is fine
+    inside the likelihood kernels — the accuracy gate validates their
+    decisions — but the size-factor medians divide every count in the
+    pipeline, so they get a polynomial evaluation accurate to f32
+    rounding instead: y = m 2^e with m in [sqrt(1/2), sqrt(2)),
+    log m = 2 atanh((m-1)/(m+1)) by odd series (|s| <= 0.172, s^11
+    truncation ~3e-9), e*ln2 in split hi/lo parts so the product is
+    exact.  No-op in f64."""
+    if y.dtype == jnp.float64:
+        return jnp.log(y)
+    m, e = jnp.frexp(y)                      # m in [0.5, 1)
+    lo_half = m < 0.7071067811865476
+    m = jnp.where(lo_half, 2.0 * m, m)       # [sqrt(1/2), sqrt(2))
+    e = (e - lo_half.astype(e.dtype)).astype(y.dtype)
+    s = (m - 1.0) / (m + 1.0)
+    s2 = s * s
+    logm = 2.0 * s * (1.0 + s2 * (1.0 / 3.0 + s2 *
+                                  (1.0 / 5.0 + s2 * (1.0 / 7.0
+                                                     + s2 / 9.0))))
+    LN2_HI = jnp.asarray(0.693115234375, y.dtype)      # 12-bit mantissa
+    LN2_LO = jnp.asarray(3.2122944692859465e-05, y.dtype)
+    out = (e * LN2_HI + logm) + e * LN2_LO
+    return jnp.where(y > 0, out, -jnp.inf)             # log(0) = -inf
+
+
+def _trimmed_mean_dev_masked(v, mask, trim):
+    """R mean(x, trim=) over the masked entries, on device (the
+    fitType='mean' trend, R/core.R:900-905)."""
+    dtype = v.dtype
+    vals = jnp.sort(jnp.where(mask, v, jnp.inf))
+    n = jnp.sum(mask)
+    kcut = jnp.floor(n.astype(dtype) * trim).astype(jnp.int32)
+    r = jnp.arange(v.shape[0])
+    take = (r >= kcut) & (r < n - kcut)
+    return jnp.sum(jnp.where(take, vals, 0.0)) \
+        / jnp.maximum(n - 2 * kcut, 1).astype(dtype)
+
+
+def _local_trend_state(base_mean, disps, use_mask):
+    """Device state for the tricube local-quadratic dispersion trend
+    (fitType='local'; same estimator as the host local_dispersion_fit —
+    the documented locfit stand-in): fit points sorted by log-mean,
+    unused rows pushed to the end with weight 0 (finite sentinel x so
+    padded moment products stay finite)."""
+    dtype = base_mean.dtype
+    lx = jnp.where(use_mask, jnp.log(jnp.where(use_mask, base_mean, 1.0)),
+                   jnp.inf)
+    order = jnp.argsort(lx)
+    lxs = lx[order]
+    lys = jnp.where(use_mask, jnp.log(jnp.where(use_mask, disps, 1.0)),
+                    0.0)[order]
+    pws = jnp.where(use_mask, base_mean, 0.0)[order]
+    lxs = jnp.where(jnp.isfinite(lxs), lxs, jnp.asarray(1e30, dtype))
+    return dict(lxs=lxs, lys=lys, pws=pws,
+                nfit=jnp.sum(use_mask).astype(jnp.int32))
+
+
+def _local_trend_eval(ts, x0):
+    """Evaluate the tricube local-quadratic regression at log-mean
+    points x0.  Window = the k = max(ceil(0.7 n), 3) nearest fit
+    points; h = the k-th smallest distance, computed in closed form
+    from the sorted structure (the k-NN of a point on a line is a
+    contiguous window and h is unique under ties).  Every fit point
+    then enters a weighted quadratic with weight tricube(d/h) *
+    prior-weight — points at or beyond h get weight exactly 0, so this
+    reproduces the host's argpartition-window fit without gathers."""
+    lxs, lys, pws, n = ts["lxs"], ts["lys"], ts["pws"], ts["nfit"]
+    dtype = lxs.dtype
+    K = lxs.shape[0]
+    k = jnp.maximum(jnp.ceil(0.7 * n.astype(dtype)).astype(jnp.int32), 3)
+    k = jnp.minimum(k, n)
+    idx = jnp.arange(K, dtype=jnp.int32)
+    xk = jnp.take(lxs, jnp.clip(idx + k - 1, 0, K - 1))
+    lo_max = jnp.maximum(n - k, 0)
+    mid = jnp.where(idx <= lo_max, (lxs + xk) / 2.0, jnp.inf)
+    lo = jnp.searchsorted(mid, x0).astype(jnp.int32)
+    cand = jnp.stack([jnp.clip(lo - 1, 0, lo_max),
+                      jnp.clip(lo, 0, lo_max)], axis=-1)      # (E,2)
+    lo_x = jnp.take(lxs, cand)
+    hi_x = jnp.take(lxs, jnp.clip(cand + k - 1, 0, K - 1))
+    h = jnp.min(jnp.maximum(x0[:, None] - lo_x, hi_x - x0[:, None]),
+                axis=1)
+    h = jnp.where(h > 0, h, 1.0)
+
+    def chunk_fit(args):
+        x0c, hc = args
+        dx = lxs[None, :] - x0c[:, None]              # (e,K)
+        w = (1.0 - jnp.minimum(jnp.abs(dx) / hc[:, None], 1.0) ** 3) ** 3 \
+            * pws[None, :]
+        dxm = jnp.where(w > 0, dx, 0.0)
+        dx2 = dxm * dxm
+        s0 = jnp.sum(w, axis=1)
+        s1 = jnp.sum(w * dxm, axis=1)
+        s2 = jnp.sum(w * dx2, axis=1)
+        s3 = jnp.sum(w * dx2 * dxm, axis=1)
+        s4 = jnp.sum(w * dx2 * dx2, axis=1)
+        t0 = jnp.sum(w * lys[None, :], axis=1)
+        t1 = jnp.sum(w * dxm * lys[None, :], axis=1)
+        t2 = jnp.sum(w * dx2 * lys[None, :], axis=1)
+        A = jnp.stack([jnp.stack([s0, s1, s2], -1),
+                       jnp.stack([s1, s2, s3], -1),
+                       jnp.stack([s2, s3, s4], -1)], -2)   # (e,3,3)
+        b = jnp.stack([t0, t1, t2], -1)[..., None]
+        beta0 = jnp.linalg.solve(A, b)[..., 0, 0]
+        # singular fallback: weighted mean (host LinAlgError branch)
+        return jnp.where(jnp.isfinite(beta0), beta0,
+                         t0 / jnp.where(s0 > 0, s0, 1.0))
+
+    E = x0.shape[0]
+    CH = min(1024, E)
+    Ep = -(-E // CH) * CH
+    x0p = jnp.pad(x0, (0, Ep - E))
+    hp = jnp.pad(h, (0, Ep - E), constant_values=1.0)
+    fitted = jax.lax.map(chunk_fit, (x0p.reshape(-1, CH),
+                                     hp.reshape(-1, CH))).reshape(-1)[:E]
+    return jnp.exp(fitted)
 
 
 def _bh_adjust(p, valid):
@@ -170,14 +298,16 @@ def _bh_adjust(p, valid):
                                    "two_group", "min_replicates", "alpha",
                                    "reduced_intercept", "linear_mu",
                                    "beta_prior", "contrast", "use_t",
-                                   "valid_genes", "estimate_sf"))
+                                   "valid_genes", "estimate_sf",
+                                   "fit_type"))
 def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                         min_disp_pow=-8, mesh=None, cells=None,
                         two_group=False, min_replicates=7, alpha=0.1,
                         x_reduced=None, reduced_intercept=False,
                         linear_mu=True, beta_prior=False, contrast=None,
                         use_t=False, valid_genes=None, weights=None,
-                        norm_factors=None, estimate_sf=False):
+                        norm_factors=None, estimate_sf=False,
+                        fit_type="parametric"):
     """counts: (G,S) int; x: (S,p); size_factors: (S,); grid: (20,) log
     alpha grid.  Returns per-gene results dict (log2 scale LFC/SE/stat/p,
     plus dispersions and diagnostics).
@@ -240,7 +370,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         # over genes (-inf when any count is zero), per-sample median of
         # the finite log ratios over genes with a positive count.  All-
         # zero padding rows under a mesh drop out via the finite mask.
-        logy = jnp.log(y)
+        logy = _accurate_log(y)
         lg = jnp.mean(logy, axis=1)
         ratios = jnp.where(jnp.isfinite(lg)[:, None] & (y > 0),
                            logy - lg[:, None], jnp.nan)
@@ -467,7 +597,17 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
             lambda _: jax.lax.cond(n > capg, full_fn, compact_fn,
                                    operand=None), operand=None)
 
-    def chain_post_trend(est, c0, c1, disp_prior_var, var_log_disp):
+    def trend_eval(ts, bm_safe):
+        """Trend value at (safe) base means, by static fit_type:
+        parametric a + b/mean, trimmed-mean constant, or the tricube
+        local regression (R/core.R:884-905)."""
+        if fit_type == "parametric":
+            return ts["c0"] + ts["c1"] / bm_safe
+        if fit_type == "mean":
+            return jnp.broadcast_to(ts["meanDisp"], bm_safe.shape)
+        return _local_trend_eval(ts, jnp.log(bm_safe))
+
+    def chain_post_trend(est, ts, disp_prior_var, var_log_disp):
         """MAP shrinkage + ridge IRLS given the (frozen) trend
         (R/core.R:1016-1115, 1400-1463)."""
         y_safe, mu_safe = est["y_safe"], est["mu_safe"]
@@ -481,7 +621,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                  else w_raw / jnp.max(w_raw, axis=1, keepdims=True))
         wkw = {} if w_loc is None else dict(weights=w_loc,
                                             use_weights=True)
-        disp_fit = c0 + c1 / jnp.where(all_zero, 1.0, est["base_mean"])
+        disp_fit = trend_eval(ts, jnp.where(all_zero, 1.0,
+                                            est["base_mean"]))
 
         disp_init = jnp.where(dge > 0.1 * disp_fit, dge, disp_fit)
         if use_ls_pallas:
@@ -683,22 +824,44 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     base_mean, base_var = est["base_mean"], est["base_var"]
     all_zero, disp_gene_est = est["all_zero"], est["disp_gene_est"]
 
-    # ---- parametric trend (cross-gene reduction) --------------------------
+    # ---- dispersion trend (cross-gene reduction) --------------------------
+    # fit_type: parametric gamma GLM (R/core.R:884-894), tricube local
+    # regression (895-899) or trimmed mean (900-905), all on device
     use_for_fit = (disp_gene_est > 100 * min_disp) & ~all_zero
-    coefs = _gamma_trend_fit(base_mean, disp_gene_est, use_for_fit)
+    out = {}
+    if fit_type == "parametric":
+        coefs, trend_valid = _gamma_trend_fit(base_mean, disp_gene_est,
+                                              use_for_fit)
+        ts = dict(c0=coefs[0], c1=coefs[1])
+        out["trendCoefs"] = coefs
+        out["trendValid"] = trend_valid
+    elif fit_type == "mean":
+        use_mean = (disp_gene_est > 10 * min_disp) & ~all_zero
+        ts = dict(meanDisp=_trimmed_mean_dev_masked(
+            disp_gene_est, use_mean, 0.001))
+        out["meanDisp"] = ts["meanDisp"]
+    elif fit_type == "local":
+        ts = _local_trend_state(base_mean, disp_gene_est, use_for_fit)
+    else:
+        raise ValueError("fused fit_type must be parametric/local/mean")
+
+    tsP = {k: rP for k in ts}
+
+    def _dfit_wrap(bm_l, az_l, ts_l):
+        return trend_eval(ts_l, jnp.where(az_l, 1.0, bm_l))
 
     # varLogDispEsts: MAD^2 over non-zero genes (R/methods.R:172-184)
-    disp_fit_full = coefs[0] + coefs[1] / jnp.where(all_zero, 1.0, base_mean)
+    disp_fit_full = smap(_dfit_wrap, (gP, gP, tsP))(base_mean, all_zero,
+                                                    ts)
     resid = jnp.log(disp_gene_est) - jnp.log(disp_fit_full)
     med = _masked_median(resid, ~all_zero)
     var_log_disp = (1.4826 * _masked_median(jnp.abs(resid - med),
                                             ~all_zero)) ** 2
     exp_var = polygamma(1, (S - p) / 2.0).astype(dtype)
     disp_prior_var = jnp.maximum(var_log_disp - exp_var, 0.25)
-
     post = smap(chain_post_trend,
-                ({k: gP for k in est}, rP, rP, rP, rP))(
-        est, coefs[0], coefs[1], disp_prior_var, var_log_disp)
+                ({k: gP for k in est}, tsP, rP, rP))(
+        est, ts, disp_prior_var, var_log_disp)
     disp_fit, disp_map = post["disp_fit"], post["disp_map"]
     disp_outlier, dispersion = post["disp_outlier"], post["dispersion"]
     beta_nat, beta_var = post["beta"], post["beta_var"]
@@ -706,8 +869,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     deviance = post["deviance"]
     disp_gene_iter, disp_iter = est["disp_gene_iter"], post["disp_iter"]
 
-    out = dict(trendCoefs=coefs, dispPriorVar=disp_prior_var,
-               varLogDispEsts=var_log_disp)
+    out.update(dispPriorVar=disp_prior_var, varLogDispEsts=var_log_disp)
 
     # ======== beta prior variance + expanded refit ========
     if beta_prior:
@@ -796,14 +958,14 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
 
             # --- refit dispersions + GLM on replaced rows only, with the
             # frozen trend/prior (refitWithoutOutliers R/core.R:2497-2560)
-            def chain_refit(y_new_loc, need_loc, tmpl, c0, c1, pv, vld,
+            def chain_refit(y_new_loc, need_loc, tmpl, ts_r, pv, vld,
                             pv_beta, w_full=None, nf_full=None):
                 g_local = y_new_loc.shape[0]
                 capg = straggler_capacity(g_local, frac=8, floor=2048)
 
                 def refit_block(y_blk, w_blk, nf_blk):
                     est2 = chain_gene_est(y_blk, w_blk, nf_blk)
-                    post2 = chain_post_trend(est2, c0, c1, pv, vld)
+                    post2 = chain_post_trend(est2, ts_r, pv, vld)
                     cooks2 = cooks_distance_dev(
                         y_blk, est2["norm_c"],
                         est2["mu_safe"] if lrt else post2["mu"],
@@ -901,11 +1063,11 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                 tmpl.update(beta_e=pr["beta_e"], beta_var_e=pr["beta_var_e"],
                             iter_e=pr["iter_e"], num=pr["num"],
                             den=pr["den"], deviance_e=pr["deviance_e"])
-            refit_args = (y_new, need, tmpl, coefs[0], coefs[1],
+            refit_args = (y_new, need, tmpl, ts,
                           disp_prior_var, var_log_disp,
                           prior_v if beta_prior else jnp.asarray(0.0,
                                                                  dtype))
-            refit_specs = (gP, gP, {k: gP for k in tmpl}, rP, rP, rP, rP,
+            refit_specs = (gP, gP, {k: gP for k in tmpl}, tsP, rP, rP,
                            rP)
             refit_extra, extra_specs = [], ()
             if use_w:
@@ -916,7 +1078,7 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
                 extra_specs += (gP,)
 
             def _refit_wrap(*a):
-                base, rest = a[:8], a[8:]
+                base, rest = a[:7], a[7:]
                 w_l = rest[0] if use_w else None
                 n_l = rest[1 if use_w else 0] if use_nf else None
                 return chain_refit(*base, w_l, n_l)
@@ -1136,7 +1298,8 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                       min_disp=1e-8, cells=None, two_group=False,
                       alpha=0.1, reduced=None, beta_prior=False,
                       contrast=None, use_t=False, weights=None,
-                      norm_factors=None, min_replicates=7):
+                      norm_factors=None, min_replicates=7,
+                      fit_type="parametric"):
     # (gene padding to the device count is masked out of the filtering
     # quantiles via valid_genes)
     """Run the fused pipeline with the genes axis sharded over `mesh`.
@@ -1184,7 +1347,8 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
                               contrast=contrast, use_t=use_t,
                               valid_genes=G if counts_p.shape[0] != G
                               else None, weights=weights_d,
-                              norm_factors=nf_d, estimate_sf=estimate_sf)
+                              norm_factors=nf_d, estimate_sf=estimate_sf,
+                              fit_type=fit_type)
     return {k: np.asarray(v)[:G] if np.ndim(v) and k != "sizeFactors"
             and np.shape(v)[0] == counts_p.shape[0] else np.asarray(v)
             for k, v in out.items()}
@@ -1194,7 +1358,8 @@ def fused_results(counts, x, size_factors=None, maxit=100, min_disp=1e-8,
                   alpha=0.1, independent_filtering=True, mesh=None,
                   two_group=False, min_replicates=7, devices=None,
                   reduced=None, beta_prior=False, contrast=None,
-                  use_t=False, weights=None, norm_factors=None):
+                  use_t=False, weights=None, norm_factors=None,
+                  fit_type="parametric"):
     """Full DESeq results via the fused pipeline.
 
     Equivalent of deseq() + results() for the default bulk configuration
@@ -1244,7 +1409,8 @@ def fused_results(counts, x, size_factors=None, maxit=100, min_disp=1e-8,
                                 alpha=alpha, reduced=reduced,
                                 beta_prior=beta_prior, contrast=contrast,
                                 use_t=use_t, weights=weights,
-                                norm_factors=norm_factors)
+                                norm_factors=norm_factors,
+                                fit_type=fit_type)
     else:
         x_red, red_int = _reduced_args(reduced)
         lin_mu = len(set(cells)) == x_np.shape[1]
@@ -1266,7 +1432,8 @@ def fused_results(counts, x, size_factors=None, maxit=100, min_disp=1e-8,
                                   else jnp.asarray(weights),
                                   norm_factors=None if norm_factors is None
                                   else jnp.asarray(norm_factors),
-                                  estimate_sf=estimate_sf)
+                                  estimate_sf=estimate_sf,
+                                  fit_type=fit_type)
 
     # two host round-trips total: the 50-scalar filtering stats (to pick
     # the lowess cutoff), then one batched device_get of all columns —

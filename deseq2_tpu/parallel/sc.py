@@ -84,6 +84,94 @@ def _setup(counts, cells, size_factors, n_groups, chunk, dtype):
         ridge=jnp.diag(jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)))
 
 
+def _setup_x(counts, x, size_factors, chunk, dtype):
+    """X-based variant of _setup for arbitrary (small-p) model matrices
+    (the reference's glmGamPoi path takes the full model matrix,
+    R/core.R:789-816, 1898-1947): no group factorization — the
+    persistent per-gene state is a (G,p) beta and mu is recomputed as
+    sf * exp(x beta) inside every streamed chunk."""
+    G, S = counts.shape
+    x = x.astype(dtype)
+    p = x.shape[1]
+    sf = size_factors.astype(dtype)
+    n_chunks = -(-S // chunk)
+    pad = n_chunks * chunk - S
+    counts_p = jnp.pad(counts, ((0, 0), (0, pad))) if pad else counts
+    sf_p = jnp.pad(sf, (0, pad), constant_values=1.0)
+    valid_p = jnp.pad(jnp.ones(S, dtype), (0, pad))
+    x_p = jnp.pad(x, ((0, pad), (0, 0)))
+    Sp = S + pad
+    idxs = jnp.arange(n_chunks, dtype=jnp.int32)
+    xs = x_p.reshape(n_chunks, chunk, p)
+    # padded rows carry x=0, v=0: excluded from every sum
+    xtx = jnp.einsum("s,sp,sq->pq", valid_p, x_p, x_p)
+    return dict(
+        counts_p=counts_p, G=G, S=S, Sp=Sp, p=p, idxs=idxs,
+        sfs=sf_p.reshape(n_chunks, chunk),
+        vs=valid_p.reshape(n_chunks, chunk),
+        xs=xs,
+        xxs=(xs[..., :, None] * xs[..., None, :]).reshape(
+            n_chunks, chunk, p * p),
+        valid_p=valid_p, n_valid=jnp.asarray(S, dtype), xtx=xtx,
+        ridge=jnp.diag(jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)))
+
+
+def _make_lp_dlp_x(env, cnt, beta, min_mu, dtype, row_idx=None):
+    """Streamed dispersion log-posterior + derivative with mu from a
+    (g,p) beta: mu = max(sf * exp(x beta), min_mu).  Same math as
+    _make_lp_dlp (which gathers group means instead); the Cox-Reid
+    X'WX accumulates over the same xxs chunks."""
+    p, chunk = env["p"], env["sfs"].shape[1]
+
+    def lp_dlp(la, use_prior, pm, pv):
+        g = la.shape[0]
+        alpha = jnp.exp(la)
+        inv_a = 1.0 / alpha
+
+        def body(carry, xc):
+            ll, s1, b, db = carry
+            i_c, sf_c, v_c, x_c, xx_c = xc
+            y_blk = _chunk_of(cnt, i_c, chunk)
+            if row_idx is not None:
+                y_blk = jnp.take(y_blk, row_idx, axis=0)
+            y_f = y_blk.astype(dtype)
+            mu = jnp.maximum(sf_c[None, :] * jnp.exp(
+                jnp.dot(beta, x_c.T, preferred_element_type=dtype)),
+                min_mu)
+            mu = jnp.where(v_c[None, :] > 0, mu, 1.0)
+            mu_inv_a = mu + inv_a[:, None]
+            mua = mu * alpha[:, None]
+            l1p = jnp.log1p(mua)
+            ll += jnp.sum(v_c[None, :] * (
+                lgamma_diff_centered(y_f, inv_a[:, None])
+                - (y_f + inv_a[:, None]) * l1p), axis=1)
+            s1 += jnp.sum(v_c[None, :] * (
+                l1p - mua / (1.0 + mua) + y_f / mu_inv_a
+                - digamma_diff(y_f, inv_a[:, None])), axis=1)
+            w = v_c[None, :] / (1.0 / mu + alpha[:, None])
+            b += jnp.dot(w, xx_c, preferred_element_type=dtype)
+            db += jnp.dot(-w * w, xx_c, preferred_element_type=dtype)
+            return (ll, s1, b, db), None
+
+        z_pp = jnp.zeros((g, p * p), dtype)
+        z_gv = jnp.zeros(g, dtype)
+        (ll, s1, b, db), _ = jax.lax.scan(
+            body, (z_gv, z_gv, z_pp, z_pp),
+            (env["idxs"], env["sfs"], env["vs"], env["xs"], env["xxs"]))
+        bm = b.reshape(g, p, p)
+        _, logdet = jnp.linalg.slogdet(bm)
+        binv = jnp.linalg.inv(bm)
+        tr = jnp.einsum("gij,gji->g", binv, db.reshape(g, p, p))
+        lp = ll - 0.5 * logdet
+        dlp = (s1 / (alpha * alpha) - 0.5 * tr) * alpha
+        if use_prior:
+            lp = lp - 0.5 * (la - pm) ** 2 / pv
+            dlp = dlp - (la - pm) / pv
+        return lp, dlp
+
+    return lp_dlp
+
+
 def _chunk_of(cnt, i, chunk):
     zero = jnp.zeros((), jnp.int32)
     return jax.lax.dynamic_slice(
@@ -172,14 +260,14 @@ def _make_lp_dlp(env, cnt, q_, min_mu, dtype, row_idx=None):
 
 
 def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
-                 min_mu, dtype):
+                 min_mu, dtype, make_lp=_make_lp_dlp):
     """Armijo backtracking ascent (cpp:163-277), streamed, with
     straggler compaction: once the live set fits G//8, gather those
     genes' count rows and finish on the compacted block — tail
     iterations then cost cap/G of a full HBM sweep."""
     G = env["counts_p"].shape[0]
     counts_p = env["counts_p"]
-    lp_dlp = _make_lp_dlp(env, counts_p, q_mu, min_mu, dtype)
+    lp_dlp = make_lp(env, counts_p, q_mu, min_mu, dtype)
     lp0, dlp0 = lp_dlp(la0, use_prior, pm, pv)
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     tol = jnp.maximum(1e-6, jnp.abs(lp0) * 50.0 * eps)
@@ -265,8 +353,8 @@ def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
             abs_idx = abs_new
             pm_c = pm[abs_idx] if jnp.ndim(pm) else pm
             body_sub = make_body(
-                _make_lp_dlp(env, counts_p, q_mu[abs_idx], min_mu, dtype,
-                             abs_idx), pm_c, pv)
+                make_lp(env, counts_p, q_mu[abs_idx], min_mu, dtype,
+                        abs_idx), pm_c, pv)
             nxt = caps[ci + 1] if ci + 1 < len(caps) else None
             s = run_phase(s, body_sub, nxt)
         for ostate, loc in reversed(outer):
@@ -278,7 +366,7 @@ def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
 
 
 def _grid_fallback(env, q_mu, grid, disp_cur, need, pm, pv, use_prior,
-                   min_mu, dtype):
+                   min_mu, dtype, make_lp=_make_lp_dlp):
     """Two-stage grid search (cpp:468-513) on the `need` genes only
     (compacted)."""
     from ..ops.padding import compact_live_indices
@@ -286,8 +374,8 @@ def _grid_fallback(env, q_mu, grid, disp_cur, need, pm, pv, use_prior,
     cap = min(1 << (max(G // 16, 256) - 1).bit_length(), G)
 
     def grid_search_subset(idx, pm_, pv_):
-        lp_dlp = _make_lp_dlp(env, env["counts_p"], q_mu[idx], min_mu,
-                              dtype, idx)
+        lp_dlp = make_lp(env, env["counts_p"], q_mu[idx], min_mu,
+                         dtype, idx)
         g = idx.shape[0]
         pm_c = pm_[idx] if jnp.ndim(pm_) else pm_
 
@@ -481,33 +569,15 @@ def _sc_stage_map(counts, cells, size_factors, grid, q, all_zero,
                     disp_fit)
 
 
-@partial(jax.jit, static_argnames=("n_groups", "maxit", "min_disp_pow",
-                                   "min_mu", "chunk", "mesh",
-                                   "with_reduced", "with_loglik"))
-def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
-                  base_mean, ll_alpha_full=None, ll_alpha_red=None,
-                  n_groups=None, maxit=100, min_disp_pow=-8,
-                  min_mu=1e-6, chunk=DEFAULT_CHUNK, mesh=None,
-                  with_reduced=False, with_loglik=False):
-    """Streamed ridge IRLS + sandwich SEs (cpp:282-465, R/core.R:1400-
-    1508); optionally the intercept-only reduced model's closed form
-    and the R-recomputed (unclamped-mu) log-likelihoods for LRT/QL.
+def _make_glm_per_gene(env0, maxit, min_mu, dtype,
+                       with_reduced, with_loglik):
+    """Factory for the streamed IRLS per-gene stage, shared by the
+    group-design and arbitrary-X entry points (env0 from _setup or
+    _setup_x; beta0 supplied by the caller)."""
+    p = env0["p"]
+    chunk = env0["sfs"].shape[1]
 
-    `dispersion` weights the IRLS; the full-model logLike uses
-    `ll_alpha_full` (reference quirk: nbinomLogLike runs at
-    dispersions(object) even when the betas were fit at the trend,
-    R/fitNbinomGLMs.R:180-182) and the reduced closed form uses
-    `ll_alpha_red` (= alpha_hat, R/fitNbinomGLMs.R:103-114)."""
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    G, S = counts.shape
-    p = n_groups
-    env0 = _setup(counts, cells, size_factors, n_groups, chunk, dtype)
-    if ll_alpha_full is None:
-        ll_alpha_full = dispersion
-    if ll_alpha_red is None:
-        ll_alpha_red = dispersion
-
-    def per_gene(counts_p, logq_l, all_zero_l, alpha_l, base_mean_l,
+    def per_gene(counts_p, beta0, all_zero_l, alpha_l, base_mean_l,
                  llaf_l, llar_l):
         env = dict(env0, counts_p=counts_p)
         g_loc = counts_p.shape[0]
@@ -515,8 +585,6 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
         n_valid = env["n_valid"]
         ridge = env["ridge"]
 
-        beta0 = jnp.concatenate(
-            [logq_l[:, :1], logq_l[:, 1:] - logq_l[:, :1]], axis=1)
         y_alpha = jnp.where(all_zero_l, 1.0, alpha_l)
         size = 1.0 / y_alpha
 
@@ -680,7 +748,7 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
 
             def ll_body(acc, xc):
                 ll_f, ll_r = acc
-                i_c, sf_c, cl_c, v_c, x_c = xc
+                i_c, sf_c, v_c, x_c = xc
                 y_f = _chunk_of(counts_p, i_c, chunk).astype(dtype)
 
                 def row_ll(mu, inv_a, alp):
@@ -709,19 +777,267 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
 
             (ll_full, ll_red), _ = jax.lax.scan(
                 ll_body, (z_g, z_g),
-                (env["idxs"], env["sfs"], env["cls"], env["vs"],
-                 env["xs"]))
+                (env["idxs"], env["sfs"], env["vs"], env["xs"]))
             out["ll_full"] = ll_full
             if with_reduced:
                 out["ll_reduced"] = ll_red
         return out
 
+    return per_gene
+
+
+@partial(jax.jit, static_argnames=("n_groups", "maxit", "min_disp_pow",
+                                   "min_mu", "chunk", "mesh",
+                                   "with_reduced", "with_loglik"))
+def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
+                  base_mean, ll_alpha_full=None, ll_alpha_red=None,
+                  n_groups=None, maxit=100, min_disp_pow=-8,
+                  min_mu=1e-6, chunk=DEFAULT_CHUNK, mesh=None,
+                  with_reduced=False, with_loglik=False):
+    """Streamed ridge IRLS + sandwich SEs (cpp:282-465, R/core.R:1400-
+    1508); optionally the intercept-only reduced model's closed form
+    and the R-recomputed (unclamped-mu) log-likelihoods for LRT/QL.
+
+    `dispersion` weights the IRLS; the full-model logLike uses
+    `ll_alpha_full` (reference quirk: nbinomLogLike runs at
+    dispersions(object) even when the betas were fit at the trend,
+    R/fitNbinomGLMs.R:180-182) and the reduced closed form uses
+    `ll_alpha_red` (= alpha_hat, R/fitNbinomGLMs.R:103-114)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    G, S = counts.shape
+    p = n_groups
+    env0 = _setup(counts, cells, size_factors, n_groups, chunk, dtype)
+    if ll_alpha_full is None:
+        ll_alpha_full = dispersion
+    if ll_alpha_red is None:
+        ll_alpha_red = dispersion
+
+    per_gene = _make_glm_per_gene(env0, maxit, min_mu, dtype,
+                                  with_reduced, with_loglik)
+
+    beta0 = jnp.concatenate([logq[:, :1], logq[:, 1:] - logq[:, :1]],
+                            axis=1)
     if mesh is not None and mesh.devices.size > 1:
         gP = _gene_spec(mesh)
         return _smap(mesh, per_gene, (gP, gP, gP, gP, gP, gP, gP))(
-            env0["counts_p"], logq, all_zero, dispersion, base_mean,
+            env0["counts_p"], beta0, all_zero, dispersion, base_mean,
             ll_alpha_full, ll_alpha_red)
-    return per_gene(env0["counts_p"], logq, all_zero, dispersion,
+    return per_gene(env0["counts_p"], beta0, all_zero, dispersion,
+                    base_mean, ll_alpha_full, ll_alpha_red)
+
+
+
+@partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "min_mu",
+                                   "chunk", "mesh"))
+def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
+                 min_disp_pow=-8, min_mu=1e-6, chunk=DEFAULT_CHUNK,
+                 mesh=None):
+    """Arbitrary-design gene-wise stage at single-cell scale: base
+    stats + rough/moments init + a streamed GLM fit at the initial
+    dispersions for mu + the dispersion MLE line search — the covariate
+    equivalent of _sc_stage1 (R/core.R:657-860 with linearMu=False).
+    Persistent state per gene: the (G,p) mu betas, never a (G,S)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    G, S = counts.shape
+    x = x.astype(dtype)
+    p = x.shape[1]
+    min_disp = 10.0 ** min_disp_pow
+    max_disp = jnp.maximum(10.0, S).astype(dtype)
+    env0 = _setup_x(counts, x, size_factors, chunk, dtype)
+    xim = jnp.sum(jnp.where(env0["valid_p"] > 0,
+                            1.0 / env0["sfs"].reshape(-1), 0.0)) \
+        / env0["n_valid"]
+    # the host inits the mu GLM via QR on log(normCounts + 0.1)
+    # (fitNbinomGLMs.R:139-155); Q is (S,p) — computed once
+    q_m, r_m = jnp.linalg.qr(x)
+    q_pad = jnp.pad(q_m, ((0, env0["Sp"] - S), (0, 0)))
+    qs = q_pad.reshape(-1, chunk, p)
+
+    def per_gene(counts_p):
+        env = dict(env0, counts_p=counts_p)
+        n_valid = env["n_valid"]
+        g_loc = counts_p.shape[0]
+        z_g = jnp.zeros(g_loc, dtype)
+
+        # ---- pass 1: base stats + X-projections of norm counts ----
+        def stats_body(carry, xc):
+            s_yn, s_yn2, tot, xty, qty = carry
+            i_c, sf_c, v_c, x_c, q_c = xc
+            y_c = _chunk_of(counts_p, i_c, chunk)
+            yn = y_c.astype(dtype) / sf_c[None, :]
+            ynv = yn * v_c[None, :]
+            s_yn += ynv.sum(axis=1)
+            s_yn2 += (ynv * yn).sum(axis=1)
+            tot += (y_c.astype(dtype) * v_c[None, :]).sum(axis=1)
+            xty += jnp.dot(ynv, x_c, preferred_element_type=dtype)
+            qty += jnp.dot(v_c[None, :] * jnp.log(yn + 0.1), q_c,
+                           preferred_element_type=dtype)
+            return (s_yn, s_yn2, tot, xty, qty), None
+
+        (s_yn, s_yn2, tot, xty, qty), _ = jax.lax.scan(
+            stats_body, (z_g, z_g, z_g, jnp.zeros((g_loc, p), dtype),
+                         jnp.zeros((g_loc, p), dtype)),
+            (env["idxs"], env["sfs"], env["vs"], env["xs"], qs))
+        base_mean = s_yn / n_valid
+        base_var = (s_yn2 - n_valid * base_mean ** 2) / (n_valid - 1.0)
+        all_zero = tot == 0
+        beta_ls = jnp.linalg.solve(
+            env["xtx"][None], xty[..., None])[..., 0]     # (g,p) LS fit
+        b0 = jnp.linalg.solve(r_m[None].astype(dtype),
+                              qty[..., None])[..., 0]     # QR init
+
+        # ---- pass 2: rough dispersion residual sum (R/core.R:2422) ----
+        def rough_body(acc, xc):
+            i_c, sf_c, v_c, x_c = xc
+            y_c = _chunk_of(counts_p, i_c, chunk)
+            yn = y_c.astype(dtype) / sf_c[None, :]
+            mu_ls = jnp.maximum(jnp.dot(beta_ls, x_c.T,
+                                        preferred_element_type=dtype),
+                                1.0)
+            acc += jnp.sum(v_c[None, :] * ((yn - mu_ls) ** 2 - mu_ls)
+                           / mu_ls ** 2, axis=1)
+            return acc, None
+
+        rough_sum, _ = jax.lax.scan(
+            rough_body, z_g,
+            (env["idxs"], env["sfs"], env["vs"], env["xs"]))
+        rough = jnp.maximum(rough_sum / (S - p), 0.0)
+        moments = (base_var - xim * base_mean) / base_mean ** 2
+        alpha_init = jnp.minimum(rough,
+                                 jnp.where(all_zero, rough, moments))
+        alpha_init = jnp.clip(jnp.where(jnp.isnan(alpha_init), min_disp,
+                                        alpha_init), min_disp, max_disp)
+
+        # ---- mu for the dispersion search: streamed GLM fit at the
+        # initial dispersions (R/core.R:753-764, linearMu=False) ----
+        glm_pg = _make_glm_per_gene(env, maxit, min_mu, dtype,
+                                    False, False)
+        fit0 = glm_pg(counts_p, b0, all_zero, alpha_init, base_mean,
+                      alpha_init, alpha_init)
+        beta_mu = fit0["beta"]
+
+        la0 = jnp.log(alpha_init)
+        mle = _line_search(env, beta_mu, la0, False, la0,
+                           jnp.asarray(1.0, dtype), maxit, min_disp,
+                           min_mu, dtype, make_lp=_make_lp_dlp_x)
+        alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
+        no_inc = mle["last_lp"] < mle["initial_lp"] + \
+            jnp.abs(mle["initial_lp"]) / 1e6
+        dge = jnp.where(no_inc, alpha_init, alpha_mle)
+        conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
+        need_grid = ~conv & (dge > min_disp * 10)
+        dge = _grid_fallback(env, beta_mu, grid, dge, need_grid,
+                             jnp.zeros(g_loc, dtype),
+                             jnp.asarray(1.0, dtype), False, min_mu,
+                             dtype, make_lp=_make_lp_dlp_x)
+        dge = jnp.clip(dge, min_disp, max_disp)
+        return dict(base_mean=base_mean, base_var=base_var,
+                    all_zero=all_zero, disp_gene_est=dge,
+                    beta_mu=beta_mu, beta0=b0)
+
+    if mesh is not None and mesh.devices.size > 1:
+        gP = _gene_spec(mesh)
+        return _smap(mesh, per_gene, (gP,),
+                     dict(base_mean=gP, base_var=gP, all_zero=gP,
+                          disp_gene_est=gP, beta_mu=gP, beta0=gP))(
+            env0["counts_p"])
+    return per_gene(env0["counts_p"])
+
+
+@partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "min_mu",
+                                   "chunk", "mesh"))
+def _sc_stage_map_x(counts, x, size_factors, grid, beta_mu, all_zero,
+                    disp_gene_est, disp_fit, disp_prior_var, maxit=100,
+                    min_disp_pow=-8, min_mu=1e-6, chunk=DEFAULT_CHUNK,
+                    mesh=None):
+    """MAP shrinkage line search for arbitrary designs (mu from the
+    stage-1 betas; R/core.R:1016-1063)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    G, S = counts.shape
+    min_disp = 10.0 ** min_disp_pow
+    max_disp = jnp.maximum(10.0, S).astype(dtype)
+    env0 = _setup_x(counts, x, size_factors, chunk, dtype)
+
+    def per_gene(counts_p, beta_l, all_zero_l, dge_l, fit_l):
+        env = dict(env0, counts_p=counts_p)
+        disp_init = jnp.where(dge_l > 0.1 * fit_l, dge_l, fit_l)
+        pm = jnp.log(fit_l)
+        map_res = _line_search(env, beta_l, jnp.log(disp_init), True,
+                               pm, disp_prior_var, maxit, min_disp,
+                               min_mu, dtype, make_lp=_make_lp_dlp_x)
+        disp_map = jnp.exp(map_res["log_alpha"])
+        need_map = map_res["iter"] >= maxit
+        disp_map = _grid_fallback(env, beta_l, grid, disp_map, need_map,
+                                  pm, disp_prior_var, True, min_mu,
+                                  dtype, make_lp=_make_lp_dlp_x)
+        return jnp.clip(disp_map, min_disp, max_disp)
+
+    if mesh is not None and mesh.devices.size > 1:
+        gP = _gene_spec(mesh)
+        return _smap(mesh, per_gene, (gP, gP, gP, gP, gP))(
+            env0["counts_p"], beta_mu, all_zero, disp_gene_est,
+            disp_fit)
+    return per_gene(env0["counts_p"], beta_mu, all_zero, disp_gene_est,
+                    disp_fit)
+
+
+@partial(jax.jit, static_argnames=("chunk", "mesh"))
+def _sc_qr_init_x(counts, x, size_factors, chunk=DEFAULT_CHUNK,
+                  mesh=None):
+    """Streamed QR beta init on log(normCounts + 0.1) for an arbitrary
+    model matrix (fitNbinomGLMs.R:139-155) — one pass over the counts,
+    (G,p) output."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    S = counts.shape[1]
+    p = x.shape[1]
+    env0 = _setup_x(counts, x, size_factors, chunk, dtype)
+    q_m, r_m = jnp.linalg.qr(x.astype(dtype))
+    qs = jnp.pad(q_m, ((0, env0["Sp"] - S), (0, 0))).reshape(-1, chunk, p)
+
+    def per_gene(counts_p):
+        def body(acc, xc):
+            i_c, sf_c, v_c, q_c = xc
+            y_c = _chunk_of(counts_p, i_c, chunk)
+            yn = y_c.astype(dtype) / sf_c[None, :]
+            acc += jnp.dot(v_c[None, :] * jnp.log(yn + 0.1), q_c,
+                           preferred_element_type=dtype)
+            return acc, None
+
+        qty, _ = jax.lax.scan(
+            body, jnp.zeros((counts_p.shape[0], p), dtype),
+            (env0["idxs"], env0["sfs"], env0["vs"], qs))
+        return jnp.linalg.solve(r_m[None], qty[..., None])[..., 0]
+
+    if mesh is not None and mesh.devices.size > 1:
+        gP = _gene_spec(mesh)
+        return _smap(mesh, per_gene, (gP,))(env0["counts_p"])
+    return per_gene(env0["counts_p"])
+
+
+@partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "min_mu",
+                                   "chunk", "mesh", "with_reduced",
+                                   "with_loglik"))
+def _sc_stage_glm_x(counts, x, size_factors, beta0, all_zero,
+                    dispersion, base_mean, ll_alpha_full=None,
+                    ll_alpha_red=None, maxit=100, min_disp_pow=-8,
+                    min_mu=1e-6, chunk=DEFAULT_CHUNK, mesh=None,
+                    with_reduced=False, with_loglik=False):
+    """Streamed ridge IRLS for an arbitrary model matrix (same core as
+    the group _sc_stage_glm via _make_glm_per_gene)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    env0 = _setup_x(counts, x, size_factors, chunk, dtype)
+    if ll_alpha_full is None:
+        ll_alpha_full = dispersion
+    if ll_alpha_red is None:
+        ll_alpha_red = dispersion
+    per_gene = _make_glm_per_gene(env0, maxit, min_mu, dtype,
+                                  with_reduced, with_loglik)
+    if mesh is not None and mesh.devices.size > 1:
+        gP = _gene_spec(mesh)
+        return _smap(mesh, per_gene, (gP, gP, gP, gP, gP, gP, gP))(
+            env0["counts_p"], beta0, all_zero, dispersion, base_mean,
+            ll_alpha_full, ll_alpha_red)
+    return per_gene(env0["counts_p"], beta0, all_zero, dispersion,
                     base_mean, ll_alpha_full, ll_alpha_red)
 
 
@@ -783,7 +1099,8 @@ def _sc_trend_and_prior(base_mean, disp_gene_est, all_zero, S, p, min_disp,
 
     if fit_type == "parametric":
         use = (disp_gene_est > 100 * min_disp) & ~all_zero
-        coefs = jax.jit(_gamma_trend_fit)(base_mean, disp_gene_est, use)
+        coefs, _ = jax.jit(_gamma_trend_fit)(base_mean, disp_gene_est,
+                                             use)
         disp_fit = coefs[0] + coefs[1] / jnp.where(all_zero, 1.0,
                                                    base_mean)
     elif fit_type == "glmGamPoi":
@@ -824,11 +1141,12 @@ def _sc_trend_and_prior(base_mean, disp_gene_est, all_zero, S, p, min_disp,
     return disp_fit, coefs, var_log_disp, disp_prior_var, None
 
 
-def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
-                     maxit=100, min_disp_pow=-8, min_mu=1e-6,
+def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
+                     grid=None, maxit=100, min_disp_pow=-8, min_mu=1e-6,
                      chunk=DEFAULT_CHUNK, test="Wald",
                      fit_type="parametric", alpha=0.1,
-                     independent_filtering=True, mesh=None, quiet=True):
+                     independent_filtering=True, mesh=None, quiet=True,
+                     design=None, reduced_design=None):
     """Full single-cell-scale DESeq results: staged streamed pipeline.
 
     - fit_type="glmGamPoi": loc_median_fit dispersion trend
@@ -852,7 +1170,28 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
     from ..results import choose_filter_theta
 
     G, S = counts.shape
-    p = n_groups
+    use_x = design is not None
+    if use_x:
+        design = np.asarray(design, np.float64)
+        if design.shape[0] != S:
+            raise ValueError("design must be (samples, p)")
+        p = design.shape[1]
+        if reduced_design is not None:
+            reduced_design = np.asarray(reduced_design, np.float64)
+            rp = reduced_design.shape[1]
+            if rp == 1 and np.all(reduced_design == 1.0):
+                reduced_design = None    # ~1: intercept closed form
+            elif rp >= p:
+                raise ValueError("reduced_design must have fewer columns "
+                                 "than design")
+    else:
+        if cells is None or n_groups is None:
+            raise ValueError("provide cells+n_groups (group design) or "
+                             "design= (arbitrary model matrix)")
+        p = n_groups
+    if size_factors is None:
+        raise ValueError("size_factors are required (estimate on host "
+                         "or pass ones)")
     min_disp = 10.0 ** min_disp_pow
     max_disp = max(10.0, S)
     if grid is None:
@@ -874,20 +1213,34 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
         padded_G = counts_h.shape[0]
         counts = jax.device_put(counts_h, shard_genes(mesh))
         rep = replicated(mesh)
-        cells = jax.device_put(np.asarray(cells, np.int32), rep)
+        if use_x:
+            design_d = jax.device_put(design, rep)
+            if reduced_design is not None:
+                reduced_d = jax.device_put(reduced_design, rep)
+        else:
+            cells = jax.device_put(np.asarray(cells, np.int32), rep)
         size_factors = jax.device_put(np.asarray(size_factors), rep)
         grid_d = jax.device_put(np.asarray(grid), rep)
     else:
         mesh = None
         counts = jnp.asarray(counts)
-        cells = jnp.asarray(cells, jnp.int32)
+        if use_x:
+            design_d = jnp.asarray(design)
+            if reduced_design is not None:
+                reduced_d = jnp.asarray(reduced_design)
+        else:
+            cells = jnp.asarray(cells, jnp.int32)
         size_factors = jnp.asarray(np.asarray(size_factors))
         grid_d = jnp.asarray(grid)
 
-    kw = dict(n_groups=n_groups, maxit=maxit, min_disp_pow=min_disp_pow,
+    kw = dict(maxit=maxit, min_disp_pow=min_disp_pow,
               min_mu=min_mu, chunk=chunk, mesh=mesh)
+    kwg = dict(kw, n_groups=n_groups)
 
-    st1 = _sc_stage1(counts, cells, size_factors, grid_d, **kw)
+    if use_x:
+        st1 = _sc_stage1_x(counts, design_d, size_factors, grid_d, **kw)
+    else:
+        st1 = _sc_stage1(counts, cells, size_factors, grid_d, **kwg)
     base_mean, base_var = st1["base_mean"], st1["base_var"]
     all_zero, dge = st1["all_zero"], st1["disp_gene_est"]
 
@@ -927,9 +1280,15 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
         out["ql_df0"] = shrink["ql_df0"]
         disp_map = disp_map_d
     else:
-        disp_map = _sc_stage_map(counts, cells, size_factors, grid_d,
-                                 st1["q"], all_zero, dge, disp_fit,
-                                 disp_prior_var, **kw)
+        if use_x:
+            disp_map = _sc_stage_map_x(counts, design_d, size_factors,
+                                       grid_d, st1["beta_mu"], all_zero,
+                                       dge, disp_fit, disp_prior_var,
+                                       **kw)
+        else:
+            disp_map = _sc_stage_map(counts, cells, size_factors, grid_d,
+                                     st1["q"], all_zero, dge, disp_fit,
+                                     disp_prior_var, **kwg)
         dispersion = jnp.where(disp_outlier, dge, disp_map)
 
     # ---- GLM fits + test statistics ----
@@ -941,10 +1300,32 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
     # dispersion column while the reduced closed form runs at alpha_hat
     # (reference quirk, R/fitNbinomGLMs.R:103-114 vs 180-182).
     fit_alpha = disp_fit if ql_mode else dispersion
-    glm = _sc_stage_glm(counts, cells, size_factors, st1["logq"],
-                        all_zero, fit_alpha, base_mean,
-                        ll_alpha_full=dispersion, ll_alpha_red=fit_alpha,
-                        with_reduced=lrt, with_loglik=lrt, **kw)
+    # intercept-only reduced model -> closed form inside the full fit;
+    # an arbitrary reduced_design (X mode) runs a second streamed fit
+    red_closed = lrt and (not use_x or reduced_design is None)
+    if use_x:
+        glm = _sc_stage_glm_x(counts, design_d, size_factors,
+                              st1["beta0"], all_zero, fit_alpha,
+                              base_mean, ll_alpha_full=dispersion,
+                              ll_alpha_red=fit_alpha,
+                              with_reduced=red_closed, with_loglik=lrt,
+                              **kw)
+        if lrt and not red_closed:
+            b0r = _sc_qr_init_x(counts, reduced_d, size_factors,
+                                chunk=chunk, mesh=mesh)
+            glm_r = _sc_stage_glm_x(counts, reduced_d, size_factors,
+                                    b0r, all_zero, fit_alpha, base_mean,
+                                    ll_alpha_full=dispersion,
+                                    with_reduced=False, with_loglik=True,
+                                    **kw)
+            glm = dict(glm, ll_reduced=glm_r["ll_full"])
+    else:
+        glm = _sc_stage_glm(counts, cells, size_factors, st1["logq"],
+                            all_zero, fit_alpha, base_mean,
+                            ll_alpha_full=dispersion,
+                            ll_alpha_red=fit_alpha,
+                            with_reduced=red_closed, with_loglik=lrt,
+                            **kwg)
     beta, beta_var = glm["beta"], glm["beta_var"]
     dtype = beta.dtype
     beta_log2 = LOG2E * beta
@@ -962,7 +1343,10 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
             qlmap = out["qlDispMAP"]
             f_stat = np.full(padded_G, np.nan)
             pval = np.full(padded_G, np.nan)
-            f_nz, p_nz = ql_f_test(llf[nzm], llr[nzm], p - 1,
+            df_test = p - (reduced_design.shape[1]
+                           if use_x and reduced_design is not None
+                           else 1)
+            f_nz, p_nz = ql_f_test(llf[nzm], llr[nzm], df_test,
                                    qlmap[nzm], out["ql_df0"], S - p)
             f_stat[nzm] = f_nz
             pval[nzm] = p_nz
@@ -970,7 +1354,8 @@ def fused_sc_results(counts, cells, size_factors, n_groups, grid=None,
             p_last = jnp.asarray(pval, dtype)
         else:
             from jax.scipy.special import gammaincc
-            df = p - 1
+            df = p - (reduced_design.shape[1]
+                      if use_x and reduced_design is not None else 1)
             lrt_stat = 2.0 * (glm["ll_full"] - glm["ll_reduced"])
             # pchisq semantics: stat <= 0 -> p = 1 (gammaincc would NaN)
             p_chi = gammaincc(jnp.asarray(df / 2.0, dtype),

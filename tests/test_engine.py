@@ -159,3 +159,13 @@ def test_engine_mesh_matches_single():
     shd = dt.deseq(dds, engine="fused", mesh=gene_mesh(8))
     _cmp_dds(one, shd, rtol=1e-10)
     _cmp_results(dt.results(one), dt.results(shd), rtol=1e-10)
+
+
+def test_engine_local_and_mean_trend():
+    dds = dt.make_example_dataset(n=300, m=12, beta_sd=1.0, seed=5)
+    for ft in ("local", "mean"):
+        h = dt.deseq(dds, fit_type=ft, engine="host")
+        f = dt.deseq(dds, fit_type=ft, engine="fused")
+        _cmp_dds(h, f, rtol=1e-6, atol=1e-10)
+        _cmp_results(dt.results(h), dt.results(f), rtol=1e-6)
+        assert f.dispersion_function.fit_type == ft

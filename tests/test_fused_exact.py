@@ -447,3 +447,40 @@ def test_fused_device_size_factors():
     out2 = fused_results(counts, x, host.size_factors, two_group=True)
     for k in ("log2FoldChange", "pvalue", "padj", "dispersion"):
         _cmp(out[k], out2[k], f"sfdev {k}", rtol=1e-6)
+
+
+def test_fused_local_and_mean_trend_match_host():
+    """fitType='local' (tricube local quadratic; the closed-form k-NN
+    window h + zero-weight-at-boundary device formulation) and
+    fitType='mean' (trimmed mean) keep the fused path and match the
+    host trend fits (R/core.R:895-905)."""
+    dds = dt.make_example_dataset(n=300, m=12, beta_sd=1.0, seed=11)
+    x = dds.model_matrix()[0]
+    counts = np.asarray(dds.counts)
+    for ft in ("local", "mean"):
+        h = dt.deseq(dds, fit_type=ft, engine="host")
+        rh = dt.results(h)
+        fo = fused_results(counts, x, h.size_factors, two_group=True,
+                           fit_type=ft)
+        _cmp(h.row_data["dispFit"], fo["dispFit"], f"{ft} dispFit",
+             rtol=1e-6)
+        for k in ("log2FoldChange", "pvalue", "padj"):
+            _cmp(rh[k], fo[k], f"{ft} {k}", rtol=2e-6)
+
+
+def test_fused_local_trend_sharded():
+    """local trend over the 8-device mesh == single device."""
+    import jax
+    from deseq2_tpu.parallel.sharding import gene_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    dds = dt.make_example_dataset(n=203, m=10, beta_sd=1.0, seed=3)
+    dds = dt.estimate_size_factors(dds)
+    x = dds.model_matrix()[0]
+    counts = np.asarray(dds.counts)
+    one = fused_results(counts, x, dds.size_factors, two_group=True,
+                        fit_type="local")
+    shd = fused_results(counts, x, dds.size_factors, two_group=True,
+                        fit_type="local", mesh=gene_mesh(8))
+    for k in ("dispFit", "log2FoldChange", "pvalue", "padj"):
+        _cmp(one[k], shd[k], f"local mesh {k}", rtol=1e-9)
