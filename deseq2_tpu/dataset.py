@@ -294,9 +294,14 @@ class DESeqDataSet:
     def n_samples(self):
         return self.counts.shape[1]
 
-    def copy(self):
+    def copy(self, share_counts=False):
+        """Copy the dataset.  `share_counts=True` aliases the counts
+        buffer instead of duplicating it (R-like copy-on-modify
+        economy) — used by the fused engine route, which never mutates
+        counts in place; the host stages that do (outlier replacement)
+        make their own copy first."""
         new = DESeqDataSet.__new__(DESeqDataSet)
-        new.counts = self.counts.copy()
+        new.counts = self.counts if share_counts else self.counts.copy()
         new.col_data = {k: (v[slice(None)] if isinstance(v, Factor) else v.copy())
                         for k, v in self.col_data.items()}
         new.design = self.design

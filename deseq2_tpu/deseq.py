@@ -134,7 +134,11 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
         model_matrix = full if full is not None else dds.design
         check_full_rank(model_matrix)
 
-    dds = dds.copy()
+    # the fused route never mutates counts in place, so its copy can
+    # alias the (potentially large) counts buffer; the host path below
+    # re-copies with its own counts duplicate
+    dds_orig = dds
+    dds = dds.copy(share_counts=True)
     dds.attrs["betaPrior"] = beta_prior
 
     # ---- engine routing: the fused on-device fast path ----
@@ -165,7 +169,7 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
             warnings.warn(f"fused engine unavailable ({reason}); "
                           "running the host-exact path")
         if mesh is not None:
-            return deseq(dds, test=test, fit_type=fit_type,
+            return deseq(dds_orig, test=test, fit_type=fit_type,
                          sf_type=sf_type, beta_prior=beta_prior,
                          full=full, reduced=reduced, quiet=quiet,
                          min_replicates_for_replace=(
@@ -197,6 +201,9 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
                 "or shard the exact path over devices with "
                 "deseq(..., mesh=gene_mesh(n))")
 
+    # host stages may mutate counts (outlier replacement): detach from
+    # the shared buffer now
+    dds.counts = dds.counts.copy()
     G = dds.counts.shape[0]
     if dds.size_factors is None and dds.normalization_factors is None:
         with profiling.stage("estimateSizeFactors", genes=G):

@@ -116,7 +116,8 @@ def _setup_x(counts, x, size_factors, chunk, dtype):
         ridge=jnp.diag(jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)))
 
 
-def _make_lp_dlp_x(env, cnt, beta, min_mu, dtype, row_idx=None):
+def _make_lp_dlp_x(env, cnt, beta, min_mu, dtype, row_idx=None,
+                   tails=None):
     """Streamed dispersion log-posterior + derivative with mu from a
     (g,p) beta: mu = max(sf * exp(x beta), min_mu).  Same math as
     _make_lp_dlp (which gathers group means instead); the Cox-Reid
@@ -139,16 +140,22 @@ def _make_lp_dlp_x(env, cnt, beta, min_mu, dtype, row_idx=None):
                 jnp.dot(beta, x_c.T, preferred_element_type=dtype)),
                 min_mu)
             mu = jnp.where(v_c[None, :] > 0, mu, 1.0)
-            mu_inv_a = mu + inv_a[:, None]
             mua = mu * alpha[:, None]
+            r = 1.0 / (1.0 + mua)      # single reciprocal (see group)
             l1p = jnp.log1p(mua)
-            ll += jnp.sum(v_c[None, :] * (
-                lgamma_diff_centered(y_f, inv_a[:, None])
-                - (y_f + inv_a[:, None]) * l1p), axis=1)
-            s1 += jnp.sum(v_c[None, :] * (
-                l1p - mua / (1.0 + mua) + y_f / mu_inv_a
-                - digamma_diff(y_f, inv_a[:, None])), axis=1)
-            w = v_c[None, :] / (1.0 / mu + alpha[:, None])
+            if tails is None:
+                ll += jnp.sum(v_c[None, :] * (
+                    lgamma_diff_centered(y_f, inv_a[:, None])
+                    - (y_f + inv_a[:, None]) * l1p), axis=1)
+                s1 += jnp.sum(v_c[None, :] * (
+                    l1p - mua * r + y_f * (alpha[:, None] * r)
+                    - digamma_diff(y_f, inv_a[:, None])), axis=1)
+            else:
+                ll += jnp.sum(v_c[None, :] * (
+                    -(y_f + inv_a[:, None]) * l1p), axis=1)
+                s1 += jnp.sum(v_c[None, :] * (
+                    l1p - mua * r + y_f * (alpha[:, None] * r)), axis=1)
+            w = v_c[None, :] * (mu * r)
             b += jnp.dot(w, xx_c, preferred_element_type=dtype)
             db += jnp.dot(-w * w, xx_c, preferred_element_type=dtype)
             return (ll, s1, b, db), None
@@ -158,6 +165,14 @@ def _make_lp_dlp_x(env, cnt, beta, min_mu, dtype, row_idx=None):
         (ll, s1, b, db), _ = jax.lax.scan(
             body, (z_gv, z_gv, z_pp, z_pp),
             (env["idxs"], env["sfs"], env["vs"], env["xs"], env["xxs"]))
+        if tails is not None:
+            ks = jnp.arange(tails.shape[1], dtype=dtype)[None, :]
+            # lgamma_diff_centered(y,c) = sum_{k<y} log(1 + k/c): per
+            # gene that is sum_k tail_k * log1p(k*alpha); digamma_diff
+            # = sum_{k<y} 1/(c+k) -> sum_k tail_k/(c+k)
+            ll = ll + jnp.sum(tails * jnp.log1p(ks * alpha[:, None]),
+                              axis=1)
+            s1 = s1 - jnp.sum(tails / (inv_a[:, None] + ks), axis=1)
         bm = b.reshape(g, p, p)
         _, logdet = jnp.linalg.slogdet(bm)
         binv = jnp.linalg.inv(bm)
@@ -176,6 +191,50 @@ def _chunk_of(cnt, i, chunk):
     zero = jnp.zeros((), jnp.int32)
     return jax.lax.dynamic_slice(
         cnt, (zero, (i * chunk).astype(jnp.int32)), (cnt.shape[0], chunk))
+
+
+HIST_K = 64   # count-tail histogram width for the low-count fast path
+
+
+def _count_tails(env, dtype, K=HIST_K):
+    """Per-gene count-tail histogram: tails[g, k] = #{s: y[g,s] > k} for
+    k < K, over valid samples.
+
+    For integer counts, lgamma(y+c) - lgamma(c) = sum_{k<y} log(c+k)
+    and digamma(y+c) - digamma(c) = sum_{k<y} 1/(c+k), so the
+    dispersion log-posterior's per-SAMPLE transcendental sums collapse
+    into per-GENE sums over the K histogram bins — the line search's
+    dominant VPU cost (Lanczos lgamma + digamma series per element per
+    sweep) becomes O(K) per gene per sweep.  Exact for genes whose
+    counts all fit below K; genes with any y >= K re-run on the generic
+    per-sample path (UMI data: a fraction of a percent)."""
+    counts_p = env["counts_p"]
+    chunk = env["sfs"].shape[1]
+    G = counts_p.shape[0]
+    ks = jnp.arange(K, dtype=jnp.int32)
+
+    def body(carry, xc):
+        tails, mx = carry
+        i_c, v_c = xc
+        y_c = _chunk_of(counts_p, i_c, chunk)
+        yv = jnp.where(v_c[None, :] > 0, y_c, 0)
+        # (g, chunk) > k accumulated per k: fori keeps the chunk live
+        # without a (g, chunk, K) broadcast temporary
+        def kbody(k, t):
+            col = jnp.sum((yv > ks[k]).astype(dtype), axis=1)
+            cur = jax.lax.dynamic_slice(
+                t, (jnp.zeros((), jnp.int32), ks[k]), (t.shape[0], 1))
+            return jax.lax.dynamic_update_slice(
+                t, cur + col[:, None], (jnp.zeros((), jnp.int32), ks[k]))
+
+        tails = jax.lax.fori_loop(0, K, kbody, tails)
+        mx = jnp.maximum(mx, yv.max(axis=1))
+        return (tails, mx), None
+
+    (tails, mx), _ = jax.lax.scan(
+        body, (jnp.zeros((G, K), dtype), jnp.zeros(G, jnp.int32)),
+        (env["idxs"], env["vs"]))
+    return tails, mx
 
 
 def _smap(mesh, f, in_specs, out_specs=None):
@@ -198,14 +257,20 @@ def _gene_spec(mesh):
 # per-gene streamed solvers (shard-local building blocks)
 # ---------------------------------------------------------------------------
 
-def _make_lp_dlp(env, cnt, q_, min_mu, dtype, row_idx=None):
+def _make_lp_dlp(env, cnt, q_, min_mu, dtype, row_idx=None, tails=None):
     """Streamed fused log-posterior + derivative for a gene block
     (cnt: (G, Sp) resident counts; q_: (g, C) clamped group means;
     row_idx: optional (g,) compacted gene indices).  Compacted
     blocks gather their rows per streamed chunk — gathering from
     the whole (G, Sp) matrix at 30k x 50k makes XLA materialize
     half-matrix slice temporaries (~2.8 GB each) plus a relayout
-    copy of the full counts, which OOMs a 16 GB chip."""
+    copy of the full counts, which OOMs a 16 GB chip.
+
+    `tails`: optional (g, HIST_K) count-tail histogram (_count_tails)
+    — the per-sample lgamma/digamma sums then collapse into per-gene
+    bin sums, cutting the sweep's VPU cost ~6x.  Only exact for genes
+    whose counts are all < HIST_K; the caller re-runs overflow genes
+    without tails."""
     p, chunk = env["p"], env["sfs"].shape[1]
     n_valid = env["n_valid"]
 
@@ -223,19 +288,28 @@ def _make_lp_dlp(env, cnt, q_, min_mu, dtype, row_idx=None):
             y_f = y_blk.astype(dtype)
             mu = jnp.maximum(q_[:, cl_c] * sf_c[None, :], min_mu)
             mu = jnp.where(v_c[None, :] > 0, mu, 1.0)
-            mu_inv_a = mu + inv_a[:, None]
             mua = mu * alpha[:, None]
+            # ONE reciprocal serves every ratio in the sweep (VPU
+            # divides dominate at SC scale): w = mu*r, mua/(1+mua) =
+            # mua*r, y/(mu + 1/alpha) = y*alpha*r
+            r = 1.0 / (1.0 + mua)
             l1p = jnp.log1p(mua)
             # stable difference form (see ops/nb.py:lgamma_diff_centered
             # and ops/disp.py:log_posterior): identical values, no f32
             # catastrophic cancellation at 1/alpha >> y
-            ll += jnp.sum(v_c[None, :] * (
-                lgamma_diff_centered(y_f, inv_a[:, None])
-                - (y_f + inv_a[:, None]) * l1p), axis=1)
-            s1 += jnp.sum(v_c[None, :] * (
-                l1p - mua / (1.0 + mua) + y_f / mu_inv_a
-                - digamma_diff(y_f, inv_a[:, None])), axis=1)
-            w = v_c[None, :] / (1.0 / mu + alpha[:, None])
+            if tails is None:
+                ll += jnp.sum(v_c[None, :] * (
+                    lgamma_diff_centered(y_f, inv_a[:, None])
+                    - (y_f + inv_a[:, None]) * l1p), axis=1)
+                s1 += jnp.sum(v_c[None, :] * (
+                    l1p - mua * r + y_f * (alpha[:, None] * r)
+                    - digamma_diff(y_f, inv_a[:, None])), axis=1)
+            else:
+                ll += jnp.sum(v_c[None, :] * (
+                    -(y_f + inv_a[:, None]) * l1p), axis=1)
+                s1 += jnp.sum(v_c[None, :] * (
+                    l1p - mua * r + y_f * (alpha[:, None] * r)), axis=1)
+            w = v_c[None, :] * (mu * r)
             b += jnp.dot(w, xx_c, preferred_element_type=dtype)
             db += jnp.dot(-w * w, xx_c, preferred_element_type=dtype)
             return (ll, s1, b, db), None
@@ -245,6 +319,14 @@ def _make_lp_dlp(env, cnt, q_, min_mu, dtype, row_idx=None):
         (ll, s1, b, db), _ = jax.lax.scan(
             body, (z_gv, z_gv, z_pp, z_pp),
             (env["idxs"], env["sfs"], env["cls"], env["vs"], env["xxs"]))
+        if tails is not None:
+            ks = jnp.arange(tails.shape[1], dtype=dtype)[None, :]
+            # lgamma_diff_centered(y,c) = sum_{k<y} log(1 + k/c): per
+            # gene that is sum_k tail_k * log1p(k*alpha); digamma_diff
+            # = sum_{k<y} 1/(c+k) -> sum_k tail_k/(c+k)
+            ll = ll + jnp.sum(tails * jnp.log1p(ks * alpha[:, None]),
+                              axis=1)
+            s1 = s1 - jnp.sum(tails / (inv_a[:, None] + ks), axis=1)
         bm = b.reshape(g, p, p)
         _, logdet = jnp.linalg.slogdet(bm)
         binv = jnp.linalg.inv(bm)
@@ -260,14 +342,14 @@ def _make_lp_dlp(env, cnt, q_, min_mu, dtype, row_idx=None):
 
 
 def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
-                 min_mu, dtype, make_lp=_make_lp_dlp):
+                 min_mu, dtype, make_lp=_make_lp_dlp, tails=None):
     """Armijo backtracking ascent (cpp:163-277), streamed, with
     straggler compaction: once the live set fits G//8, gather those
     genes' count rows and finish on the compacted block — tail
     iterations then cost cap/G of a full HBM sweep."""
-    G = env["counts_p"].shape[0]
+    G = la0.shape[0]          # may be a compacted sub-problem
     counts_p = env["counts_p"]
-    lp_dlp = make_lp(env, counts_p, q_mu, min_mu, dtype)
+    lp_dlp = make_lp(env, counts_p, q_mu, min_mu, dtype, tails=tails)
     lp0, dlp0 = lp_dlp(la0, use_prior, pm, pv)
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     tol = jnp.maximum(1e-6, jnp.abs(lp0) * 50.0 * eps)
@@ -354,7 +436,9 @@ def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
             pm_c = pm[abs_idx] if jnp.ndim(pm) else pm
             body_sub = make_body(
                 make_lp(env, counts_p, q_mu[abs_idx], min_mu, dtype,
-                        abs_idx), pm_c, pv)
+                        abs_idx,
+                        tails=None if tails is None else tails[abs_idx]),
+                pm_c, pv)
             nxt = caps[ci + 1] if ci + 1 < len(caps) else None
             s = run_phase(s, body_sub, nxt)
         for ostate, loc in reversed(outer):
@@ -365,17 +449,106 @@ def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
                 iter=s[5])
 
 
+def _gene_est_search(env, mu_state, alpha_init, grid, maxit, min_disp,
+                     min_mu, dtype, max_disp, make_lp, tails=None):
+    """Gene-wise dispersion MLE: line search + no-increase rule + grid
+    fallback (R/core.R:765-847), shared by the group and X stage-1
+    variants and by the overflow redo of the histogram fast path."""
+    la0 = jnp.log(alpha_init)
+    mle = _line_search(env, mu_state, la0, False, la0,
+                       jnp.asarray(1.0, dtype), maxit, min_disp, min_mu,
+                       dtype, make_lp=make_lp, tails=tails)
+    alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
+    no_inc = mle["last_lp"] < mle["initial_lp"] + \
+        jnp.abs(mle["initial_lp"]) / 1e6
+    dge = jnp.where(no_inc, alpha_init, alpha_mle)
+    conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
+    need_grid = ~conv & (dge > min_disp * 10)
+    dge = _grid_fallback(env, mu_state, grid, dge, need_grid,
+                         jnp.zeros_like(dge), jnp.asarray(1.0, dtype),
+                         False, min_mu, dtype, make_lp=make_lp,
+                         tails=tails)
+    return jnp.clip(dge, min_disp, max_disp), mle["iter"]
+
+
+def _gene_est_hist(env, mu_state, alpha_init, grid, maxit, min_disp,
+                   min_mu, dtype, max_disp, base_make, ovf_cap):
+    """Gene-est search on the count-tail histogram fast path: run every
+    gene with the collapsed lgamma/digamma sums, then re-run the (few)
+    genes holding any count >= HIST_K — for which the histogram is
+    truncated — on the exact per-sample path, compacted."""
+    from ..ops.padding import compact_live_indices
+    tails, max_y = _count_tails(env, dtype)
+    dge, it = _gene_est_search(env, mu_state, alpha_init, grid, maxit,
+                               min_disp, min_mu, dtype, max_disp,
+                               base_make, tails=tails)
+    if ovf_cap > 0:
+        ovf = max_y >= HIST_K
+        idx = compact_live_indices(ovf, ovf_cap)
+
+        def sub_make(e, c, ms, mm, dt, ri=None, tails=None):
+            return base_make(e, c, ms, mm, dt,
+                             idx if ri is None else idx[ri])
+
+        dge2, it2 = _gene_est_search(env, mu_state[idx],
+                                     alpha_init[idx], grid, maxit,
+                                     min_disp, min_mu, dtype, max_disp,
+                                     sub_make)
+        sel = ovf[idx]
+        dge = dge.at[idx].set(jnp.where(sel, dge2, dge[idx]))
+        it = it.at[idx].set(jnp.where(sel, it2, it[idx]))
+    return dge, it
+
+
+def _map_search(env, mu_state, disp_init, pm, pv, grid, maxit,
+                min_disp, min_mu, dtype, max_disp, make_lp, tails=None):
+    """MAP shrinkage line search + grid fallback (R/core.R:1016-1063)."""
+    map_res = _line_search(env, mu_state, jnp.log(disp_init), True, pm,
+                           pv, maxit, min_disp, min_mu, dtype,
+                           make_lp=make_lp, tails=tails)
+    disp_map = jnp.exp(map_res["log_alpha"])
+    need = map_res["iter"] >= maxit
+    disp_map = _grid_fallback(env, mu_state, grid, disp_map, need, pm,
+                              pv, True, min_mu, dtype, make_lp=make_lp,
+                              tails=tails)
+    return jnp.clip(disp_map, min_disp, max_disp)
+
+
+def _map_hist(env, mu_state, disp_init, pm, pv, grid, maxit, min_disp,
+              min_mu, dtype, max_disp, base_make, ovf_cap):
+    """MAP search on the histogram fast path + exact overflow redo."""
+    from ..ops.padding import compact_live_indices
+    tails, max_y = _count_tails(env, dtype)
+    dm = _map_search(env, mu_state, disp_init, pm, pv, grid, maxit,
+                     min_disp, min_mu, dtype, max_disp, base_make,
+                     tails=tails)
+    if ovf_cap > 0:
+        ovf = max_y >= HIST_K
+        idx = compact_live_indices(ovf, ovf_cap)
+
+        def sub_make(e, c, ms, mm, dt, ri=None, tails=None):
+            return base_make(e, c, ms, mm, dt,
+                             idx if ri is None else idx[ri])
+
+        dm2 = _map_search(env, mu_state[idx], disp_init[idx], pm[idx],
+                          pv, grid, maxit, min_disp, min_mu, dtype,
+                          max_disp, sub_make)
+        dm = dm.at[idx].set(jnp.where(ovf[idx], dm2, dm[idx]))
+    return dm
+
+
 def _grid_fallback(env, q_mu, grid, disp_cur, need, pm, pv, use_prior,
-                   min_mu, dtype, make_lp=_make_lp_dlp):
+                   min_mu, dtype, make_lp=_make_lp_dlp, tails=None):
     """Two-stage grid search (cpp:468-513) on the `need` genes only
     (compacted)."""
     from ..ops.padding import compact_live_indices
-    G = env["counts_p"].shape[0]
+    G = disp_cur.shape[0]     # may be a compacted sub-problem
     cap = min(1 << (max(G // 16, 256) - 1).bit_length(), G)
 
     def grid_search_subset(idx, pm_, pv_):
         lp_dlp = make_lp(env, env["counts_p"], q_mu[idx], min_mu,
-                         dtype, idx)
+                         dtype, idx,
+                         tails=None if tails is None else tails[idx])
         g = idx.shape[0]
         pm_c = pm_[idx] if jnp.ndim(pm_) else pm_
 
@@ -427,10 +600,11 @@ def _grid_fallback(env, q_mu, grid, disp_cur, need, pm, pv, use_prior,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("n_groups", "maxit", "min_disp_pow",
-                                   "min_mu", "chunk", "mesh"))
+                                   "min_mu", "chunk", "mesh", "use_hist",
+                                   "ovf_cap"))
 def _sc_stage1(counts, cells, size_factors, grid, n_groups, maxit=100,
                min_disp_pow=-8, min_mu=1e-6, chunk=DEFAULT_CHUNK,
-               mesh=None):
+               mesh=None, use_hist=False, ovf_cap=0):
     """Base stats + group means + gene-wise dispersion MLE
     (R/core.R:657-860).  Returns only (G,) / (G,C) summaries."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -503,21 +677,14 @@ def _sc_stage1(counts, cells, size_factors, grid, n_groups, maxit=100,
         # fast path — exact for the group design; R/core.R:754-764)
         q_mu = jnp.where(all_zero[:, None], 1.0, q)
 
-        la0 = jnp.log(alpha_init)
-        mle = _line_search(env, q_mu, la0, False, la0,
-                           jnp.asarray(1.0, dtype), maxit, min_disp,
-                           min_mu, dtype)
-        alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
-        no_inc = mle["last_lp"] < mle["initial_lp"] + \
-            jnp.abs(mle["initial_lp"]) / 1e6
-        dge = jnp.where(no_inc, alpha_init, alpha_mle)
-        conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
-        need_grid = ~conv & (dge > min_disp * 10)
-        dge = _grid_fallback(env, q_mu, grid, dge, need_grid,
-                             jnp.zeros(g_loc, dtype),
-                             jnp.asarray(1.0, dtype), False, min_mu,
-                             dtype)
-        dge = jnp.clip(dge, min_disp, max_disp)
+        if use_hist:
+            dge, _ = _gene_est_hist(env, q_mu, alpha_init, grid, maxit,
+                                    min_disp, min_mu, dtype, max_disp,
+                                    _make_lp_dlp, ovf_cap)
+        else:
+            dge, _ = _gene_est_search(env, q_mu, alpha_init, grid, maxit,
+                                      min_disp, min_mu, dtype, max_disp,
+                                      _make_lp_dlp)
         return dict(base_mean=base_mean, base_var=base_var,
                     all_zero=all_zero, disp_gene_est=dge, q=q, logq=logq)
 
@@ -533,11 +700,13 @@ def _sc_stage1(counts, cells, size_factors, grid, n_groups, maxit=100,
 
 
 @partial(jax.jit, static_argnames=("n_groups", "maxit", "min_disp_pow",
-                                   "min_mu", "chunk", "mesh"))
+                                   "min_mu", "chunk", "mesh", "use_hist",
+                                   "ovf_cap"))
 def _sc_stage_map(counts, cells, size_factors, grid, q, all_zero,
                   disp_gene_est, disp_fit, disp_prior_var, n_groups,
                   maxit=100, min_disp_pow=-8, min_mu=1e-6,
-                  chunk=DEFAULT_CHUNK, mesh=None):
+                  chunk=DEFAULT_CHUNK, mesh=None, use_hist=False,
+                  ovf_cap=0):
     """DESeq2-type MAP shrinkage line search with the log-normal prior
     (R/core.R:1016-1063)."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -548,18 +717,16 @@ def _sc_stage_map(counts, cells, size_factors, grid, q, all_zero,
 
     def per_gene(counts_p, q_l, all_zero_l, dge_l, fit_l):
         env = dict(env0, counts_p=counts_p)
-        g_loc = counts_p.shape[0]
         q_mu = jnp.where(all_zero_l[:, None], 1.0, q_l)
         disp_init = jnp.where(dge_l > 0.1 * fit_l, dge_l, fit_l)
         pm = jnp.log(fit_l)
-        map_res = _line_search(env, q_mu, jnp.log(disp_init), True, pm,
-                               disp_prior_var, maxit, min_disp, min_mu,
-                               dtype)
-        disp_map = jnp.exp(map_res["log_alpha"])
-        need_map = map_res["iter"] >= maxit
-        disp_map = _grid_fallback(env, q_mu, grid, disp_map, need_map,
-                                  pm, disp_prior_var, True, min_mu, dtype)
-        return jnp.clip(disp_map, min_disp, max_disp)
+        if use_hist:
+            return _map_hist(env, q_mu, disp_init, pm, disp_prior_var,
+                             grid, maxit, min_disp, min_mu, dtype,
+                             max_disp, _make_lp_dlp, ovf_cap)
+        return _map_search(env, q_mu, disp_init, pm, disp_prior_var,
+                           grid, maxit, min_disp, min_mu, dtype,
+                           max_disp, _make_lp_dlp)
 
     if mesh is not None and mesh.devices.size > 1:
         gP = _gene_spec(mesh)
@@ -617,18 +784,24 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
                     y_f = y_blk.astype(dtype)
                     mu = jnp.maximum(sf_c[None, :] * jnp.exp(beta @ x_c.T),
                                      min_mu)
-                    w = v_c[None, :] * mu / (1.0 + d_alpha[:, None] * mu)
-                    z = jnp.log(mu / sf_c[None, :]) + (y_f - mu) / mu
+                    lm = jnp.log(mu)
+                    mua = d_alpha[:, None] * mu
+                    # one reciprocal: w = mu*rr, and w*z folds to
+                    # rr*(mu*log(mu/sf) + y - mu) with no divides
+                    rr = 1.0 / (1.0 + mua)
+                    w = v_c[None, :] * (mu * rr)
+                    wz = v_c[None, :] * rr * (
+                        mu * (lm - jnp.log(sf_c)[None, :]) + y_f - mu)
                     A += jnp.dot(w, xx_c, preferred_element_type=dtype)
-                    r += jnp.dot(w * z, x_c, preferred_element_type=dtype)
+                    r += jnp.dot(wz, x_c, preferred_element_type=dtype)
                     # stable difference form of the NB deviance:
                     # ll_s = D(y,size) - lgamma(y+1) + y*log(mu)
                     #        - (y+size)*log1p(mu*alpha)
                     # (identical value to cpp:365-382's expression; the
                     # direct gammaln(y+size) form cancels
                     # catastrophically in f32 at size = 1/alpha >> y)
-                    t = jnp.where(y_f > 0.0, y_f * jnp.log(mu), 0.0)
-                    l1p = jnp.log1p(mu * d_alpha[:, None])
+                    t = jnp.where(y_f > 0.0, y_f * lm, 0.0)
+                    l1p = jnp.log1p(mua)
                     dev += -2.0 * jnp.sum(v_c[None, :] * (
                         t - (y_f + d_size[:, None]) * l1p), axis=1)
                     if with_const:
@@ -747,40 +920,48 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
             szf, szr = 1.0 / af, 1.0 / ar
 
             def ll_body(acc, xc):
-                ll_f, ll_r = acc
+                ll_f, ll_r, ll_d = acc
                 i_c, sf_c, v_c, x_c = xc
                 y_f = _chunk_of(counts_p, i_c, chunk).astype(dtype)
 
-                def row_ll(mu, inv_a, alp):
+                def row_terms(mu, inv_a, alp):
                     # stable difference form (same derivation as the
                     # deviance above): the final dispersion can sit at
                     # min_disp so 1/alpha reaches 1e8 and the direct
                     # gammaln(y+size) form destroys the QL F statistic
                     # in f32
                     t = jnp.where(y_f > 0.0, y_f * jnp.log(mu), 0.0)
-                    return jnp.sum(v_c[None, :] * (
-                        lgamma_diff_centered(y_f, inv_a[:, None])
-                        - gammaln(y_f + 1.0) + t
-                        - (y_f + inv_a[:, None])
-                        * jnp.log1p(mu * alp[:, None])), axis=1)
+                    return (lgamma_diff_centered(y_f, inv_a[:, None])
+                            - gammaln(y_f + 1.0) + t
+                            - (y_f + inv_a[:, None])
+                            * jnp.log1p(mu * alp[:, None]))
 
                 mu_f = sf_c[None, :] * jnp.exp(beta @ x_c.T)
                 mu_f = jnp.where(v_c[None, :] > 0, mu_f, 1.0)
-                ll_f += row_ll(mu_f, szf, af)
+                tf = row_terms(mu_f, szf, af)
+                ll_f += jnp.sum(v_c[None, :] * tf, axis=1)
                 if with_reduced:
                     mu_r = base_mean_l[:, None] * sf_c[None, :]
                     mu_r = jnp.where(v_c[None, :] > 0,
                                      jnp.where(all_zero_l[:, None], 1.0,
                                                mu_r), 1.0)
-                    ll_r += row_ll(mu_r, szr, ar)
-                return (ll_f, ll_r), None
+                    tr = row_terms(mu_r, szr, ar)
+                    ll_r += jnp.sum(v_c[None, :] * tr, axis=1)
+                    # the LRT/QL statistic consumes ll_full - ll_reduced:
+                    # accumulated ELEMENTWISE the difference is O(1) per
+                    # sample, so its f32 sum keeps ~1e-4 absolute
+                    # accuracy where (big sum) - (big sum) cancels to
+                    # ~0.1 — the main f32 amplifier of the F statistic
+                    ll_d += jnp.sum(v_c[None, :] * (tf - tr), axis=1)
+                return (ll_f, ll_r, ll_d), None
 
-            (ll_full, ll_red), _ = jax.lax.scan(
-                ll_body, (z_g, z_g),
+            (ll_full, ll_red, ll_diff), _ = jax.lax.scan(
+                ll_body, (z_g, z_g, z_g),
                 (env["idxs"], env["sfs"], env["vs"], env["xs"]))
             out["ll_full"] = ll_full
             if with_reduced:
                 out["ll_reduced"] = ll_red
+                out["ll_diff"] = ll_diff
         return out
 
     return per_gene
@@ -828,10 +1009,11 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
 
 
 @partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "min_mu",
-                                   "chunk", "mesh"))
+                                   "chunk", "mesh", "use_hist",
+                                   "ovf_cap"))
 def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
                  min_disp_pow=-8, min_mu=1e-6, chunk=DEFAULT_CHUNK,
-                 mesh=None):
+                 mesh=None, use_hist=False, ovf_cap=0):
     """Arbitrary-design gene-wise stage at single-cell scale: base
     stats + rough/moments init + a streamed GLM fit at the initial
     dispersions for mu + the dispersion MLE line search — the covariate
@@ -916,21 +1098,14 @@ def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
                       alpha_init, alpha_init)
         beta_mu = fit0["beta"]
 
-        la0 = jnp.log(alpha_init)
-        mle = _line_search(env, beta_mu, la0, False, la0,
-                           jnp.asarray(1.0, dtype), maxit, min_disp,
-                           min_mu, dtype, make_lp=_make_lp_dlp_x)
-        alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
-        no_inc = mle["last_lp"] < mle["initial_lp"] + \
-            jnp.abs(mle["initial_lp"]) / 1e6
-        dge = jnp.where(no_inc, alpha_init, alpha_mle)
-        conv = (mle["iter"] < maxit) & (mle["iter"] != 1)
-        need_grid = ~conv & (dge > min_disp * 10)
-        dge = _grid_fallback(env, beta_mu, grid, dge, need_grid,
-                             jnp.zeros(g_loc, dtype),
-                             jnp.asarray(1.0, dtype), False, min_mu,
-                             dtype, make_lp=_make_lp_dlp_x)
-        dge = jnp.clip(dge, min_disp, max_disp)
+        if use_hist:
+            dge, _ = _gene_est_hist(env, beta_mu, alpha_init, grid,
+                                    maxit, min_disp, min_mu, dtype,
+                                    max_disp, _make_lp_dlp_x, ovf_cap)
+        else:
+            dge, _ = _gene_est_search(env, beta_mu, alpha_init, grid,
+                                      maxit, min_disp, min_mu, dtype,
+                                      max_disp, _make_lp_dlp_x)
         return dict(base_mean=base_mean, base_var=base_var,
                     all_zero=all_zero, disp_gene_est=dge,
                     beta_mu=beta_mu, beta0=b0)
@@ -945,11 +1120,12 @@ def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
 
 
 @partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "min_mu",
-                                   "chunk", "mesh"))
+                                   "chunk", "mesh", "use_hist",
+                                   "ovf_cap"))
 def _sc_stage_map_x(counts, x, size_factors, grid, beta_mu, all_zero,
                     disp_gene_est, disp_fit, disp_prior_var, maxit=100,
                     min_disp_pow=-8, min_mu=1e-6, chunk=DEFAULT_CHUNK,
-                    mesh=None):
+                    mesh=None, use_hist=False, ovf_cap=0):
     """MAP shrinkage line search for arbitrary designs (mu from the
     stage-1 betas; R/core.R:1016-1063)."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -962,15 +1138,13 @@ def _sc_stage_map_x(counts, x, size_factors, grid, beta_mu, all_zero,
         env = dict(env0, counts_p=counts_p)
         disp_init = jnp.where(dge_l > 0.1 * fit_l, dge_l, fit_l)
         pm = jnp.log(fit_l)
-        map_res = _line_search(env, beta_l, jnp.log(disp_init), True,
-                               pm, disp_prior_var, maxit, min_disp,
-                               min_mu, dtype, make_lp=_make_lp_dlp_x)
-        disp_map = jnp.exp(map_res["log_alpha"])
-        need_map = map_res["iter"] >= maxit
-        disp_map = _grid_fallback(env, beta_l, grid, disp_map, need_map,
-                                  pm, disp_prior_var, True, min_mu,
-                                  dtype, make_lp=_make_lp_dlp_x)
-        return jnp.clip(disp_map, min_disp, max_disp)
+        if use_hist:
+            return _map_hist(env, beta_l, disp_init, pm, disp_prior_var,
+                             grid, maxit, min_disp, min_mu, dtype,
+                             max_disp, _make_lp_dlp_x, ovf_cap)
+        return _map_search(env, beta_l, disp_init, pm, disp_prior_var,
+                           grid, maxit, min_disp, min_mu, dtype,
+                           max_disp, _make_lp_dlp_x)
 
     if mesh is not None and mesh.devices.size > 1:
         gP = _gene_spec(mesh)
@@ -1050,22 +1224,40 @@ def _loc_median_window_dev(ys, npoints):
     """Sliding tricube-weighted median over x-sorted values, on device.
 
     Same windows and first-crossing pick as gampoi.loc_median_fit's
-    scalar loop (glmGamPoi::loc_median_fit contract); the (n, npoints)
-    window sort runs as one lax.sort — at 30k genes the host loop costs
-    ~9 s, a third of the streamed SC QL pipeline."""
+    scalar loop (glmGamPoi::loc_median_fit contract).  Selection is an
+    EXACT bit-space binary search instead of a per-window pair sort:
+    for positive floats the integer bit pattern orders identically, so
+    32/64 fixed halving steps converge hi to the smallest window VALUE
+    v* with W(<= v*) >= half — precisely the first-crossing element of
+    the sorted-cumsum formulation, ties included.  A (n, npoints) pair
+    sort on TPU (bitonic, 2 keys) costs seconds at 30k genes; the
+    masked-sum search is pure VPU streaming (~30 sweeps)."""
     n = ys.shape[0]
-    half = npoints // 2
-    lo = jnp.clip(jnp.arange(n) - half, 0, n - npoints)
-    idx = lo[:, None] + jnp.arange(npoints)[None, :]
+    half_w = npoints // 2
+    lo_i = jnp.clip(jnp.arange(n) - half_w, 0, n - npoints)
+    idx = lo_i[:, None] + jnp.arange(npoints)[None, :]
     Wc = ys[idx]
-    off = (jnp.arange(n) - lo).astype(ys.dtype)
+    off = (jnp.arange(n) - lo_i).astype(ys.dtype)
     rel = (jnp.arange(npoints, dtype=ys.dtype)[None, :]
-           - off[:, None]) / max(half, 1)
+           - off[:, None]) / max(half_w, 1)
     wts = (1.0 - jnp.minimum(jnp.abs(rel), 1.0) ** 3) ** 3
-    svals, swts = jax.lax.sort((Wc, wts), dimension=1, num_keys=1)
-    cw = jnp.cumsum(swts, axis=1)
-    pick = jnp.argmax(cw >= 0.5 * cw[:, -1:], axis=1)
-    return jnp.take_along_axis(svals, pick[:, None], axis=1)[:, 0]
+    half = 0.5 * jnp.sum(wts, axis=1)
+
+    it = jnp.int64 if ys.dtype == jnp.float64 else jnp.int32
+    nbits = 64 if ys.dtype == jnp.float64 else 32
+    Wb = jax.lax.bitcast_convert_type(Wc, it)      # ys > 0: order-preserving
+    lo = jnp.min(Wb, axis=1) - 1                   # predicate false
+    hi = jnp.max(Wb, axis=1)                       # predicate true
+
+    def body(_, st):
+        lo, hi = st
+        mid = lo + (hi - lo) // 2
+        ok = jnp.sum(jnp.where(Wb <= mid[:, None], wts, 0.0),
+                     axis=1) >= half
+        return jnp.where(ok, lo, mid), jnp.where(ok, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, nbits, body, (lo, hi))
+    return jax.lax.bitcast_convert_type(hi, ys.dtype)
 
 
 def _loc_median_fit_fast(x, y, fraction=0.1):
@@ -1237,10 +1429,38 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
               min_mu=min_mu, chunk=chunk, mesh=mesh)
     kwg = dict(kw, n_groups=n_groups)
 
+    # count-tail histogram fast path (f32): collapse the per-sample
+    # lgamma/digamma line-search sums into HIST_K per-gene bins; genes
+    # with any count >= HIST_K redo exactly on a compacted generic
+    # pass.  Decision is host-side so the jitted stages see static
+    # flags; disabled when the data is not UMI-like (too many
+    # high-count genes) or in f64 (the reference-parity path).
+    import os as _os
+    _hist_env = _os.environ.get("DESEQ2_TPU_SC_HIST", "1")
+    # default: f32 fast path only (f64 stays the reference-parity
+    # per-sample form); "force" also enables it in f64 — used by the
+    # bench gate's CPU worker so the f32-vs-f64 comparison is
+    # summation-order-matched (hist-f64 == generic-f64 at 1e-10,
+    # tests/test_sc.py::test_sc_histogram_fast_path_exact)
+    use_hist = _hist_env != "0" and (not jax.config.jax_enable_x64
+                                     or _hist_env == "force")
+    ovf_cap = 0
+    if use_hist:
+        n_ovf = int(jax.device_get(jnp.sum(
+            jnp.max(counts, axis=1) >= HIST_K)))
+        if n_ovf > padded_G // 4:
+            use_hist = False
+        elif n_ovf > 0:
+            ovf_cap = min(1 << (max(n_ovf, 64) - 1).bit_length(),
+                          padded_G)
+    hkw = dict(use_hist=use_hist, ovf_cap=ovf_cap)
+
     if use_x:
-        st1 = _sc_stage1_x(counts, design_d, size_factors, grid_d, **kw)
+        st1 = _sc_stage1_x(counts, design_d, size_factors, grid_d,
+                           **kw, **hkw)
     else:
-        st1 = _sc_stage1(counts, cells, size_factors, grid_d, **kwg)
+        st1 = _sc_stage1(counts, cells, size_factors, grid_d,
+                         **kwg, **hkw)
     base_mean, base_var = st1["base_mean"], st1["base_var"]
     all_zero, dge = st1["all_zero"], st1["disp_gene_est"]
 
@@ -1284,11 +1504,11 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
             disp_map = _sc_stage_map_x(counts, design_d, size_factors,
                                        grid_d, st1["beta_mu"], all_zero,
                                        dge, disp_fit, disp_prior_var,
-                                       **kw)
+                                       **kw, **hkw)
         else:
             disp_map = _sc_stage_map(counts, cells, size_factors, grid_d,
                                      st1["q"], all_zero, dge, disp_fit,
-                                     disp_prior_var, **kwg)
+                                     disp_prior_var, **kwg, **hkw)
         dispersion = jnp.where(disp_outlier, dge, disp_map)
 
     # ---- GLM fits + test statistics ----
@@ -1336,10 +1556,15 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
             # quasi-likelihood F-test on host (G scalars, one fetch)
             from ..gampoi import ql_f_test
             lls = jax.device_get(dict(f=glm["ll_full"],
-                                      r=glm["ll_reduced"]))
+                                      r=glm["ll_reduced"],
+                                      d=glm.get("ll_diff")))
             nzm = ~host["az"]
             llf = np.asarray(lls["f"], np.float64)
-            llr = np.asarray(lls["r"], np.float64)
+            # cancellation-free deviance drop when the one-pass
+            # elementwise difference is available (see ll_body)
+            llr = (llf - np.asarray(lls["d"], np.float64)
+                   if lls["d"] is not None
+                   else np.asarray(lls["r"], np.float64))
             qlmap = out["qlDispMAP"]
             f_stat = np.full(padded_G, np.nan)
             pval = np.full(padded_G, np.nan)
@@ -1356,7 +1581,8 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
             from jax.scipy.special import gammaincc
             df = p - (reduced_design.shape[1]
                       if use_x and reduced_design is not None else 1)
-            lrt_stat = 2.0 * (glm["ll_full"] - glm["ll_reduced"])
+            lrt_stat = 2.0 * (glm["ll_diff"] if "ll_diff" in glm
+                              else glm["ll_full"] - glm["ll_reduced"])
             # pchisq semantics: stat <= 0 -> p = 1 (gammaincc would NaN)
             p_chi = gammaincc(jnp.asarray(df / 2.0, dtype),
                               jnp.maximum(lrt_stat, 0.0) / 2.0)

@@ -229,3 +229,43 @@ def test_sc_covariate_design_wald_and_mesh():
         shd = fused_sc_results(counts, mesh=gene_mesh(8), **kw)
         for k in ("dispGeneEst", "dispersion", "pvalue", "padj"):
             _cmp(o[k], shd[k], f"cov mesh {k}", rtol=1e-9)
+
+
+def test_sc_histogram_fast_path_exact():
+    """Count-tail histogram line search (the f32 TPU throughput path:
+    per-sample lgamma/digamma sums collapsed into HIST_K per-gene bins,
+    overflow genes redone exactly) == the generic per-sample path, here
+    verified in f64 where both are available."""
+    import jax.numpy as jnp
+    from deseq2_tpu.parallel import sc
+    rng = np.random.default_rng(3)
+    G, S = 400, 300
+    cells = (np.arange(S) % 2).astype(np.int32)
+    mu0 = np.maximum(2.0 ** rng.normal(-1.0, 2.0, G), 0.01)
+    mu0[:10] = 200.0                       # guaranteed overflow genes
+    disp = np.minimum(4.0 / mu0 + 0.3, 20.0)
+    size = 1.0 / disp[:, None]
+    counts = rng.negative_binomial(
+        size, size / (size + mu0[:, None]), size=(G, S)).astype(np.int32)
+    grid = np.linspace(np.log(1e-8), np.log(max(10.0, S)), 20)
+    kw = dict(n_groups=2, maxit=100, min_disp_pow=-8, min_mu=1e-6,
+              chunk=64, mesh=None)
+    args = (jnp.asarray(counts), jnp.asarray(cells),
+            jnp.asarray(np.ones(S)), jnp.asarray(grid))
+    a = sc._sc_stage1(*args, **kw)
+    n_ovf = int((counts.max(axis=1) >= sc.HIST_K).sum())
+    assert n_ovf >= 10
+    cap = 1 << (max(n_ovf, 16) - 1).bit_length()
+    b = sc._sc_stage1(*args, use_hist=True, ovf_cap=cap, **kw)
+    np.testing.assert_allclose(np.asarray(a["disp_gene_est"]),
+                               np.asarray(b["disp_gene_est"]),
+                               rtol=1e-10)
+    # MAP stage too
+    df = jnp.asarray(np.full(G, 0.4))
+    m_a = sc._sc_stage_map(*args, a["q"], a["all_zero"],
+                           a["disp_gene_est"], df, jnp.asarray(0.5), **kw)
+    m_b = sc._sc_stage_map(*args, b["q"], b["all_zero"],
+                           b["disp_gene_est"], df, jnp.asarray(0.5),
+                           use_hist=True, ovf_cap=cap, **kw)
+    np.testing.assert_allclose(np.asarray(m_a), np.asarray(m_b),
+                               rtol=1e-10)
