@@ -217,6 +217,11 @@ def deseq_fused(dds, test="Wald", fit_type="parametric", sf_type="ratio",
             dds = estimate_size_factors(dds, type=sf_type, quiet=quiet)
             sf = dds.size_factors
 
+    if not quiet:
+        from .parallel.fused import pallas_fallback_note
+        pallas_fallback_note(dds.n_samples, mm.shape[1],
+                             use_weights=weights is not None)
+
     # ---- static pipeline knobs ----
     if beta_prior:
         # cells must be the FACTOR level codes so the expanded columns

@@ -75,9 +75,10 @@ def _chol_solve_cols(a_cols, rhs_cols, p):
     return xv
 
 
-def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
-                 ridge_ref, scal_ref, beta_ref, bvar_ref, dev_ref, it_ref,
-                 mu_ref, hat_ref, mu_scr, *, p, maxit, nf_row):
+def _irls_kernel(y_ref, nf_ref, w_ref, alpha_ref, b0_ref, xx_ref, xT_ref,
+                 xxT_ref, ridge_ref, scal_ref, beta_ref, bvar_ref,
+                 dev_ref, it_ref, mu_ref, hat_ref, mu_scr, *, p, maxit,
+                 nf_row, use_w):
     alpha = alpha_ref[:]              # (BG, 1)
     s_valid = scal_ref[0]
     tol = scal_ref[1]
@@ -102,15 +103,25 @@ def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
     def nf_chunk(sl):
         return nf_ref[0:1, sl] if nf_row else nf_ref[:, sl]
 
+    def w_chunk(sl, fv):
+        return fv * w_ref[:, sl] if use_w else fv
+
     size = 1.0 / alpha                # (BG,1)
-    # mu-independent deviance part: -2 * sum_s [lgamma(y+sz) - lgamma(sz)
-    #   - lgamma(y+1) + sz*log(sz)]; gene-constant terms hoisted
-    dev_const = -2.0 * n_valid * (size * jnp.log(size) - _lgamma_pos(size))
+    # mu-independent deviance part: -2 * sum_s w*[lgamma(y+sz)
+    #   - lgamma(sz) - lgamma(y+1) + sz*log(sz)]; gene-constant terms
+    # hoisted (unweighted: their per-sample weight is 1)
+    dev_const = jnp.zeros_like(alpha)
+    szl = size * jnp.log(size) - _lgamma_pos(size)
+    if not use_w:
+        dev_const = -2.0 * n_valid * szl
     for sl, fv in chunks():
         y = y_ref[:, sl]
-        dev_const = dev_const - 2.0 * jnp.sum(
-            fv * (_lgamma_pos(y + size) - _lgamma_pos(y + 1.0)),
-            axis=1, keepdims=True)
+        wv = w_chunk(sl, fv)
+        terms = _lgamma_pos(y + size) - _lgamma_pos(y + 1.0)
+        if use_w:
+            terms = terms + szl
+        dev_const = dev_const - 2.0 * jnp.sum(wv * terms,
+                                              axis=1, keepdims=True)
 
     beta0 = [b0_ref[:, k:k + 1] for k in range(p)]
     ridge = [ridge_ref[k] for k in range(p)]
@@ -130,7 +141,7 @@ def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
                           y * (jnp.log(mu_new) - jnp.log(size + mu_new)),
                           0.0)
             dev = dev - 2.0 * jnp.sum(
-                fv * (-size * jnp.log(size + mu_new) + t),
+                w_chunk(sl, fv) * (-size * jnp.log(size + mu_new) + t),
                 axis=1, keepdims=True)
             mu_scr[:, sl] = jnp.where(keep, mu_new, mu_scr[:, sl])
         return dev
@@ -148,7 +159,7 @@ def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
         for sl, fv in chunks():
             y = y_ref[:, sl]
             mu = mu_scr[:, sl]
-            w = fv * mu / (1.0 + alpha * mu)
+            w = w_chunk(sl, fv) * mu / (1.0 + alpha * mu)
             z = jnp.log(mu) - jnp.log(nf_chunk(sl)) + (y - mu) / mu
             a_c = jnp.dot(w, xx_ref[sl, :], preferred_element_type=dtype)
             r_c = jnp.dot(w * z, xT_ref[:, sl].T,
@@ -212,7 +223,7 @@ def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
     xtwx_flat = None
     for sl, fv in chunks():
         mu = mu_scr[:, sl]
-        w = fv * mu / (1.0 + alpha * mu)
+        w = w_chunk(sl, fv) * mu / (1.0 + alpha * mu)
         c = jnp.dot(w, xx_ref[sl, :], preferred_element_type=dtype)
         xtwx_flat = c if xtwx_flat is None else xtwx_flat + c
     a_cols = [xtwx_flat[:, k:k + 1] for k in range(p * p)]
@@ -238,6 +249,8 @@ def _irls_kernel(y_ref, nf_ref, alpha_ref, b0_ref, xx_ref, xT_ref, xxT_ref,
     for sl, fv in chunks():
         mu = mu_scr[:, sl]
         w = mu / (1.0 + alpha * mu)
+        if use_w:
+            w = w_ref[:, sl] * w
         q = ainv[0] * xxT_ref[0:1, sl]
         for k in range(1, p * p):
             q = q + ainv[k] * xxT_ref[k:k + 1, sl]
@@ -252,22 +265,28 @@ _MAX_CHUNKS = 16  # unrolled S-chunks per sweep: caps compile size
 
 def pallas_irls_supported(S, p, dtype, use_weights=False,
                           vmem_budget=12 * 1024 * 1024):
-    """Whether the Pallas IRLS kernel applies to this problem shape."""
-    if use_weights or p > 8 or dtype == jnp.float64:
+    """Whether the Pallas IRLS kernel applies to this problem shape.
+    Observation weights stream as one more (bg, Sp) VMEM block
+    (src/DESeq2.cpp:337-341: weights multiply W and the deviance)."""
+    if p > 8 or dtype == jnp.float64:
         return False
     Sp = -(-S // _LANE) * _LANE
     if Sp // _LANE > _MAX_CHUNKS:
         return False
-    return _block_g(Sp, jnp.dtype(dtype).itemsize, vmem_budget) >= 64
+    return _block_g(Sp, jnp.dtype(dtype).itemsize, vmem_budget,
+                    use_weights) >= 64
 
 
-def _block_g(Sp, itemsize, vmem_budget=12 * 1024 * 1024):
+def _block_g(Sp, itemsize, vmem_budget=12 * 1024 * 1024,
+             use_weights=False):
     """Largest power-of-two gene block fitting scoped VMEM.
 
     Per-gene bytes ~ 50 lane-width elementwise temporaries (live per
     S-chunk only) + double-buffered y input and mu/hat output blocks
-    (3 arrays x 2) + the resident mu scratch + slack for nf."""
-    per_gene = (70 * _LANE + 9 * Sp) * itemsize
+    (3 arrays x 2) + the resident mu scratch + slack for nf (+ the
+    double-buffered weights block when streaming weights)."""
+    per_gene = ((70 * _LANE + 9 * Sp) + (2 * Sp if use_weights else 0)) \
+        * itemsize
     bg = 512
     while bg >= 64 and bg * per_gene > vmem_budget:
         bg //= 2
@@ -276,7 +295,7 @@ def _block_g(Sp, itemsize, vmem_budget=12 * 1024 * 1024):
 
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
 def fit_beta_pallas(y, x, nf, alpha, beta_init, ridge, tol=1e-8, maxit=100,
-                    min_mu=0.5, interpret=False):
+                    min_mu=0.5, interpret=False, weights=None):
     """Batched fitBeta as a single fused Pallas kernel.
 
     Same contract as ops/irls.py:_fit_beta_core minus contrast support
@@ -285,6 +304,9 @@ def fit_beta_pallas(y, x, nf, alpha, beta_init, ridge, tol=1e-8, maxit=100,
 
     nf may be (G,S) or (S,) — a shared per-sample normalization row
     (the common size-factors-only case) skips one (G,S) HBM stream.
+    `weights`: optional (G,S) observation weights (max-1 normalized by
+    the caller) multiplying W, the deviance and the hat diagonals
+    (src/DESeq2.cpp:337-341).
     """
     G, S = y.shape
     p = x.shape[1]
@@ -292,9 +314,10 @@ def fit_beta_pallas(y, x, nf, alpha, beta_init, ridge, tol=1e-8, maxit=100,
     y = y.astype(dtype)
     x = x.astype(dtype)
     nf_row = nf.ndim == 1
+    use_w = weights is not None
 
     Sp = -(-S // _LANE) * _LANE
-    bg = _block_g(Sp, jnp.dtype(dtype).itemsize)
+    bg = _block_g(Sp, jnp.dtype(dtype).itemsize, use_weights=use_w)
     Gp = -(-G // bg) * bg
     y_p = jnp.pad(y, ((0, Gp - G), (0, Sp - S)))
     if nf_row:
@@ -311,16 +334,26 @@ def fit_beta_pallas(y, x, nf, alpha, beta_init, ridge, tol=1e-8, maxit=100,
     xT_p = jnp.pad(x.T, ((0, 0), (0, Sp - S)))
     xxT_p = xx_p.T
 
+    if use_w:
+        w_p = jnp.pad(weights.astype(dtype), ((0, Gp - G), (0, Sp - S)),
+                      constant_values=1.0)
+    else:
+        # unused dummy: a (1, Sp) row keeps the operand list static
+        w_p = jnp.ones((1, Sp), dtype)
     scal = jnp.stack([jnp.asarray(S, dtype), jnp.asarray(tol, dtype),
                       jnp.asarray(min_mu, dtype)])
     ridge_v = ridge.astype(dtype)
 
     kernel = functools.partial(_irls_kernel, p=p, maxit=maxit,
-                               nf_row=nf_row)
+                               nf_row=nf_row, use_w=use_w)
     nf_spec = (pl.BlockSpec((1, Sp), lambda i: (0, 0),
                             memory_space=pltpu.VMEM) if nf_row else
                pl.BlockSpec((bg, Sp), lambda i: (i, 0),
                             memory_space=pltpu.VMEM))
+    w_spec = (pl.BlockSpec((bg, Sp), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM) if use_w else
+              pl.BlockSpec((1, Sp), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM))
     beta_o, bvar_o, dev_o, it_o, mu_o, hat_o = pl.pallas_call(
         kernel,
         grid=(Gp // bg,),
@@ -328,6 +361,7 @@ def fit_beta_pallas(y, x, nf, alpha, beta_init, ridge, tol=1e-8, maxit=100,
             pl.BlockSpec((bg, Sp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             nf_spec,
+            w_spec,
             pl.BlockSpec((bg, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bg, p), lambda i: (i, 0),
@@ -365,7 +399,7 @@ def fit_beta_pallas(y, x, nf, alpha, beta_init, ridge, tol=1e-8, maxit=100,
         ),
         scratch_shapes=[pltpu.VMEM((bg, Sp), dtype)],
         interpret=interpret,
-    )(y_p, nf_p, alpha_p, b0_p, xx_p, xT_p, xxT_p, ridge_v, scal)
+    )(y_p, nf_p, w_p, alpha_p, b0_p, xx_p, xT_p, xxT_p, ridge_v, scal)
     return dict(beta=beta_o[:G], beta_var=bvar_o[:G],
                 deviance=dev_o[:G, 0], iter=it_o[:G, 0],
                 mu=mu_o[:G, :S], hat_diag=hat_o[:G, :S])

@@ -81,4 +81,36 @@ def test_irls_supported_predicate():
     assert pallas_irls_supported(1024, 3, jnp.float32)
     assert not pallas_irls_supported(128, 2, jnp.float64)
     assert not pallas_irls_supported(128, 9, jnp.float32)
-    assert not pallas_irls_supported(128, 2, jnp.float32, use_weights=True)
+    # weights are now streamed by the kernel (VERDICT r3 item 6)
+    assert pallas_irls_supported(128, 2, jnp.float32, use_weights=True)
+
+
+def test_irls_kernel_weighted_matches_xla():
+    """Observation weights stream through the kernel (one more VMEM
+    block, src/DESeq2.cpp:337-341): weighted beta/SE/hat/deviance must
+    match the weighted XLA core (VERDICT r3 item 6)."""
+    y, x, nf, alpha, beta_init, ridge = _sim(p=2, seed=5)
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(np.clip(rng.random(y.shape) + 0.25, 0.0, 1.0))
+    w = w / jnp.max(w, axis=1, keepdims=True)
+    ref = _fit_beta_core(y, x, nf, alpha, beta_init, ridge,
+                         maxit=100, min_mu=0.5, weights=w,
+                         use_weights=True)
+    got = fit_beta_pallas(y, x, nf, alpha, beta_init, ridge,
+                          maxit=100, min_mu=0.5, interpret=True,
+                          weights=w)
+    conv = np.asarray(ref["iter"]) < 100
+    assert conv.mean() > 0.95
+    for k, rtol in (("beta", 1e-6), ("beta_var", 1e-5),
+                    ("deviance", 1e-8), ("hat_diag", 1e-5)):
+        np.testing.assert_allclose(np.asarray(got[k])[conv],
+                                   np.asarray(ref[k])[conv],
+                                   rtol=rtol, atol=1e-7, err_msg=k)
+    assert np.array_equal(np.asarray(got["iter"])[conv],
+                          np.asarray(ref["iter"])[conv])
+
+
+def test_irls_weighted_supported_gate():
+    assert pallas_irls_supported(1024, 2, jnp.float32, use_weights=True)
+    assert not pallas_irls_supported(1024, 9, jnp.float32,
+                                     use_weights=True)
