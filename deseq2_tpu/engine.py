@@ -93,12 +93,8 @@ def fused_ineligibility(dds, test, fit_type, sf_type, beta_prior,
     from .config import DEFAULT, DESeqConfig
     from .formula import Factor
 
-    if fit_type == "glmGamPoi":
-        return "glmGamPoi quasi-likelihood runs host-side"
     if sf_type == "iterate":
         return "sfType='iterate' alternates with dispersion fits host-side"
-    if minmu is not None and minmu != 0.5:
-        return "non-default minmu"
     cfgv = config or DEFAULT
     ref = DESeqConfig()
     off = [f for f in _FROZEN_CONFIG
@@ -116,6 +112,30 @@ def fused_ineligibility(dds, test, fit_type, sf_type, beta_prior,
         mm = dds.design
     if mm.shape[1] >= S:
         return "no residual degrees of freedom (samples <= coefficients)"
+    if fit_type == "glmGamPoi":
+        if test != "LRT":
+            return ("glmGamPoi with test='Wald' runs host-side (the "
+                    "reference warns against the combination)")
+        if "weights" in dds.assays:
+            return "glmGamPoi cannot handle weights (host raises)"
+        if dds.normalization_factors is not None:
+            return ("glmGamPoi with normalization factors runs "
+                    "host-side")
+        if isinstance(dds.design, np.ndarray) or model_matrix is not None:
+            return "glmGamPoi with a user model matrix runs host-side"
+        if minmu is not None and minmu != 1e-6:
+            return "non-default minmu"
+        if _sc_group_mode(dds) is None \
+                and len({tuple(r) for r in np.asarray(mm)}) == mm.shape[1]:
+            # the host gene-est uses linearMu for cell-means designs;
+            # the streamed path reproduces that only through the group
+            # factorization (single factor + intercept)
+            return ("glmGamPoi linearMu design shape (cell-means "
+                    "without a single intercept+factor form) runs "
+                    "host-side")
+        return None
+    if minmu is not None and minmu != 0.5:
+        return "non-default minmu"
     if beta_prior:
         if isinstance(dds.design, np.ndarray) or model_matrix is not None:
             return "betaPrior with user-supplied model matrix"
@@ -128,8 +148,22 @@ def fused_ineligibility(dds, test, fit_type, sf_type, beta_prior,
                     "multi-factor expanded matrices run host-side")
         if not dds.design_has_intercept():
             return "betaPrior requires an intercept design"
-    if test == "LRT" and fit_type == "glmGamPoi":
-        return "glmGamPoi quasi-likelihood runs host-side"
+    return None
+
+
+def _sc_group_mode(dds):
+    """(cells codes, n_groups) when the design is a single factor with
+    an intercept — the streamed group factorization (and the host's
+    linearMu rule) applies — else None."""
+    from .formula import Factor
+    if isinstance(dds.design, np.ndarray):
+        return None
+    dvars = dds.design.variables
+    if (len(dvars) == 1 and dds.design_has_intercept()
+            and isinstance(dds.col_data.get(dvars[0]), Factor)
+            and all(o < 2 for o in dds.design.term_orders)):
+        fac = dds.col_data[dvars[0]]
+        return np.asarray(fac.codes, np.int32), fac.nlevels
     return None
 
 
@@ -165,6 +199,10 @@ def deseq_fused(dds, test="Wald", fit_type="parametric", sf_type="ratio",
     from .parallel.fused import (_reduced_args, _validated_weights,
                                  design_cells, fused_wald_pipeline,
                                  run_fused_sharded)
+
+    if fit_type == "glmGamPoi":
+        return deseq_sc_fused(dds, reduced=reduced, full=full,
+                              quiet=quiet, mesh=mesh, maxit=maxit)
 
     # no dds.copy() here: deseq() already copied before routing, and
     # this path never mutates counts/assays in place
@@ -451,4 +489,155 @@ def deseq_fused(dds, test="Wald", fit_type="parametric", sf_type="ratio",
                 if device_assays else np.asarray(out["replaceCooks"])
             dds.assays["replaceCounts"] = out["replaceCounts"] \
                 if device_assays else np.asarray(out["replaceCounts"])
+    return dds
+
+
+def deseq_sc_fused(dds, reduced, full=None, quiet=True, mesh=None,
+                   maxit=100):
+    """Route deseq(fit_type='glmGamPoi', test='LRT') through the
+    streamed single-cell pipeline (parallel/sc.py:fused_sc_results) and
+    populate the dataset with the host glmGamPoi columns
+    (estimateDispersions glmGamPoi branch + the quasi-likelihood F-test,
+    R/core.R:789-816, 1064-1096, 1898-1947).
+
+    Unlike the host path this never materializes a (genes x samples)
+    intermediate, so `~ batch + condition` at 50k cells fits on one
+    chip.  The mu/H assays are deliberately NOT stored (they are (G,S));
+    results() does not need them, and the reference disables the
+    Cook's/outlier machinery for glmGamPoi anyway (R/core.R:297-303,
+    maxCooks is NA).
+    """
+    from .dataset import DispersionFunction
+    from .formula import parse_formula
+    from .gampoi import make_closest_index_disp_fn, ql_to_nb_alpha
+    from .parallel.fused import size_factors_dev
+    from .parallel.sc import fused_sc_results
+
+    mm, names = dds.renamed_model_matrix(rename=dds.design_has_intercept())
+    mm = np.asarray(mm, np.float64)
+    reduced_mm, _ = dds.model_matrix(reduced)
+    full_f = dds.design if full is None else parse_formula(full)
+    comparison = f"'{full_f}' vs '{parse_formula(reduced)}'"
+
+    sf = dds.size_factors
+    if sf is None:
+        sf = np.asarray(size_factors_dev(_device_counts(dds.counts)),
+                        np.float64)
+        dds.size_factors = sf
+
+    # a chunk that divides S avoids a padded copy of the counts
+    # (another (G,S) buffer at 50k cells)
+    S = dds.n_samples
+    chunk = next((c for c in (2048, 2500, 2000, 1600, 1250, 1024, 1000,
+                              800, 640, 512, 500, 400, 256, 250, 200,
+                              128, 100, 64)
+                  if S % c == 0), min(2048, S))
+    counts_in = (np.asarray(dds.counts) if mesh is not None
+                 else _device_counts(dds.counts))
+    grp = _sc_group_mode(dds)
+    if grp is not None and not (reduced_mm.shape[1] == 1
+                                and np.all(reduced_mm == 1.0)):
+        grp = None    # group mode's reduced model is the ~1 closed form
+    if grp is not None:
+        # single factor + intercept: the group factorization (exact
+        # linearMu semantics, matching the host's cell-means mu rule)
+        cells, n_groups = grp
+        out = fused_sc_results(
+            counts_in, cells=cells, size_factors=sf, n_groups=n_groups,
+            test="LRT", fit_type="glmGamPoi", maxit=maxit, chunk=chunk,
+            independent_filtering=False, mesh=mesh, quiet=quiet)
+    else:
+        out = fused_sc_results(
+            counts_in, size_factors=sf, design=mm,
+            reduced_design=reduced_mm, test="LRT", fit_type="glmGamPoi",
+            maxit=maxit, chunk=chunk, independent_filtering=False,
+            mesh=mesh, quiet=quiet)
+
+    az = np.asarray(out["allZero"], bool)
+    nz = ~az
+
+    def napad(v):
+        return np.where(az, np.nan, np.asarray(v, float))
+
+    rd = dds.set_row_data
+    rd("baseMean", np.asarray(out["baseMean"], float), "intermediate",
+       "mean of normalized counts for all samples")
+    rd("baseVar", np.asarray(out["baseVar"], float), "intermediate",
+       "variance of normalized counts for all samples")
+    rd("allZero", az, "intermediate", "all counts for a gene are zero")
+    rd("dispGeneEst", np.asarray(out["dispGeneEst"], float),
+       "intermediate", "gene-wise estimates of dispersion")
+    rd("dispGeneIter", napad(out["dispGeneIter"]), "intermediate",
+       "number of iterations for gene-wise")
+    rd("dispFit", np.asarray(out["dispFit"], float), "intermediate",
+       "fitted values of dispersion")
+
+    bm = np.asarray(out["baseMean"], float)
+    dge = np.asarray(out["dispGeneEst"], float)
+    fitv = np.asarray(out["dispFit"], float)
+    for name, key, desc in (
+            ("qlDispMLE", "qlDispMLE", "quasi likelihood dispersion MLE"),
+            ("qlDispFit", "qlDispFit",
+             "quasi likelihood dispersion Trend"),
+            ("qlDispMAP", "qlDispMAP",
+             "quasi likelihood dispersion MAP")):
+        rd(name, np.asarray(out[key], float), "intermediate", desc)
+    min_disp, max_disp = 1e-8, max(10.0, dds.n_samples)
+    with np.errstate(invalid="ignore"):
+        fit_corr = np.full(dds.n_genes, np.nan)
+        fit_corr[nz] = ql_to_nb_alpha(
+            np.asarray(out["qlDispFit"], float)[nz], bm[nz], fitv[nz],
+            min_disp, max_disp)
+    rd("dispFitQLCorrected", fit_corr, "intermediate",
+       "dispersion trend corrected by quasi likelihood")
+    dds.attrs["quasiLikelihood_df0"] = float(out["ql_df0"])
+    rd("dispersion", np.asarray(out["dispersion"], float),
+       "intermediate", "final estimate of dispersion")
+    rd("dispIter", napad(np.zeros(dds.n_genes)), "intermediate",
+       "number of iterations")
+    rd("dispOutlier", np.asarray(out["dispOutlier"], bool),
+       "intermediate", "dispersion flagged as outlier")
+    rd("dispMAP", np.asarray(out["dispMAP"], float), "intermediate",
+       "maximum a posteriori estimate")
+
+    # trend function: glmGamPoi's closest-index lookup over the fitted
+    # medians — reconstructable from the fit values themselves
+    use = nz & np.isfinite(dge) & (dge > 100 * min_disp)
+    fn = make_closest_index_disp_fn(bm[use], fitv[use])
+    disp_fn = DispersionFunction(fn, "glmGamPoi")
+    disp_fn.disp_prior_var = float(np.asarray(out["dispPriorVar"]))
+    disp_fn.var_log_disp_ests = float(np.asarray(out["varLogDispEsts"]))
+    dds.dispersion_function = disp_fn
+
+    # ---- results columns (QL F-test; host _nbinom_lrt_gampoi) ----
+    beta = np.asarray(out["beta"], float)
+    na = np.full(dds.n_genes, np.nan)
+    names_spaces = [n.replace("_", " ") for n in names]
+    for j, (n, ns) in enumerate(zip(names, names_spaces)):
+        rd(n, beta[:, j], "results", f"log2 fold change (MLE): {ns}")
+        rd(f"SE_{n}", na.copy(), "results", f"standard error: {ns}")
+    rd("LRTStatistic", np.asarray(out["LRTStatistic"], float), "results",
+       f"LRT statistic: {comparison}")
+    rd("LRTPvalue", np.asarray(out["LRTPvalue"], float), "results",
+       f"LRT p-value: {comparison}")
+    rd("fullBetaConv", napad(np.ones(dds.n_genes)), "results",
+       "convergence of betas for full model")
+    rd("reducedBetaConv", napad(np.ones(dds.n_genes)), "results",
+       "convergence of betas for reduced model")
+    rd("betaIter", na.copy(), "results",
+       "iterations for betas for full model")
+    rd("deviance", -2.0 * np.asarray(out["llFull"], float), "results",
+       "deviance of the full model")
+    rd("maxCooks", na.copy(), "results",
+       "maximum Cook's distance for row")
+
+    dds.attrs["betaPrior"] = False
+    dds.attrs["betaPriorVar"] = np.full(mm.shape[1], 1e6)
+    dds.attrs["modelMatrix"] = mm
+    dds.attrs["modelMatrixNames"] = list(names)
+    dds.attrs["modelMatrixType"] = "standard"
+    dds.attrs["reducedModelMatrix"] = reduced_mm
+    dds.attrs["dispModelMatrix"] = mm
+    dds.attrs["test"] = "LRT"
+    dds.attrs["engine"] = "fused-sc"
     return dds

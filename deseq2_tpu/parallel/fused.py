@@ -1277,6 +1277,20 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
     return out
 
 
+@jax.jit
+def size_factors_dev(counts):
+    """Median-of-ratios size factors on device (the in-pipeline
+    estimate_sf block as a standalone jit, for callers that need the
+    factors before a streamed pipeline — e.g. the SC engine route)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    y = counts.astype(dtype)
+    logy = _accurate_log(y)
+    lg = jnp.mean(logy, axis=1)
+    ratios = jnp.where(jnp.isfinite(lg)[:, None] & (y > 0),
+                       logy - lg[:, None], jnp.nan)
+    return jnp.exp(jnp.nanmedian(ratios, axis=0))
+
+
 def pallas_fallback_note(S, p, use_weights=False):
     """One-line throughput notice when a config lands on the XLA cores
     instead of the Pallas kernels (VERDICT r3 weak #4: the fallback was

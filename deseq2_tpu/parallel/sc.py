@@ -678,21 +678,23 @@ def _sc_stage1(counts, cells, size_factors, grid, n_groups, maxit=100,
         q_mu = jnp.where(all_zero[:, None], 1.0, q)
 
         if use_hist:
-            dge, _ = _gene_est_hist(env, q_mu, alpha_init, grid, maxit,
-                                    min_disp, min_mu, dtype, max_disp,
-                                    _make_lp_dlp, ovf_cap)
-        else:
-            dge, _ = _gene_est_search(env, q_mu, alpha_init, grid, maxit,
+            dge, dgi = _gene_est_hist(env, q_mu, alpha_init, grid, maxit,
                                       min_disp, min_mu, dtype, max_disp,
-                                      _make_lp_dlp)
+                                      _make_lp_dlp, ovf_cap)
+        else:
+            dge, dgi = _gene_est_search(env, q_mu, alpha_init, grid,
+                                        maxit, min_disp, min_mu, dtype,
+                                        max_disp, _make_lp_dlp)
         return dict(base_mean=base_mean, base_var=base_var,
-                    all_zero=all_zero, disp_gene_est=dge, q=q, logq=logq)
+                    all_zero=all_zero, disp_gene_est=dge,
+                    disp_gene_iter=dgi, q=q, logq=logq)
 
     if mesh is not None and mesh.devices.size > 1:
         gP = _gene_spec(mesh)
         out = _smap(mesh, per_gene, (gP,),
                     dict(base_mean=gP, base_var=gP, all_zero=gP,
-                         disp_gene_est=gP, q=gP, logq=gP))(
+                         disp_gene_est=gP, disp_gene_iter=gP, q=gP,
+                         logq=gP))(
             env0["counts_p"])
     else:
         out = per_gene(env0["counts_p"])
@@ -1099,22 +1101,23 @@ def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
         beta_mu = fit0["beta"]
 
         if use_hist:
-            dge, _ = _gene_est_hist(env, beta_mu, alpha_init, grid,
-                                    maxit, min_disp, min_mu, dtype,
-                                    max_disp, _make_lp_dlp_x, ovf_cap)
-        else:
-            dge, _ = _gene_est_search(env, beta_mu, alpha_init, grid,
+            dge, dgi = _gene_est_hist(env, beta_mu, alpha_init, grid,
                                       maxit, min_disp, min_mu, dtype,
-                                      max_disp, _make_lp_dlp_x)
+                                      max_disp, _make_lp_dlp_x, ovf_cap)
+        else:
+            dge, dgi = _gene_est_search(env, beta_mu, alpha_init, grid,
+                                        maxit, min_disp, min_mu, dtype,
+                                        max_disp, _make_lp_dlp_x)
         return dict(base_mean=base_mean, base_var=base_var,
                     all_zero=all_zero, disp_gene_est=dge,
-                    beta_mu=beta_mu, beta0=b0)
+                    disp_gene_iter=dgi, beta_mu=beta_mu, beta0=b0)
 
     if mesh is not None and mesh.devices.size > 1:
         gP = _gene_spec(mesh)
         return _smap(mesh, per_gene, (gP,),
                      dict(base_mean=gP, base_var=gP, all_zero=gP,
-                          disp_gene_est=gP, beta_mu=gP, beta0=gP))(
+                          disp_gene_est=gP, disp_gene_iter=gP,
+                          beta_mu=gP, beta0=gP))(
             env0["counts_p"])
     return per_gene(env0["counts_p"])
 
@@ -1467,6 +1470,7 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
     disp_fit, coefs, var_log_disp, disp_prior_var, host = \
         _sc_trend_and_prior(base_mean, dge, all_zero, S, p, min_disp,
                             fit_type)
+    dgi = st1["disp_gene_iter"]
 
     out = dict(trendCoefs=coefs, dispPriorVar=disp_prior_var,
                varLogDispEsts=var_log_disp)
@@ -1634,7 +1638,10 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
         lfcSE=jnp.where(all_zero, jnp.nan, se_log2[:, -1]),
         stat=stat_last, pvalue=p_last, padj=padj,
         betaIter=glm["beta_iter"], betaConv=glm["beta_iter"] < maxit,
+        dispGeneIter=jnp.where(all_zero, jnp.nan, dgi.astype(dtype)),
         deviance=nanmask(glm["deviance"]))
+    if lrt and "ll_full" in glm:
+        out["llFull"] = nanmask(glm["ll_full"])
     if not lrt and pval_full is not None:
         out["statMatrix"] = jnp.where(all_zero[:, None], jnp.nan,
                                       stat_full)

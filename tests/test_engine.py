@@ -132,14 +132,13 @@ def test_engine_estimates_size_factors_on_device():
 
 def test_engine_fallback_and_forcing():
     dds = dt.make_example_dataset(n=120, m=8, beta_sd=1.0, seed=2)
-    # ineligible: glmGamPoi fit type -> forced fused raises with reason
+    # ineligible: glmGamPoi + Wald (the reference warns against it) ->
+    # forced fused raises with the reason
     with pytest.raises(ValueError, match="engine='fused' unavailable"):
-        dt.deseq(dds, test="LRT", reduced="~ 1", fit_type="glmGamPoi",
-                 engine="fused")
+        dt.deseq(dds, fit_type="glmGamPoi", engine="fused")
     # auto falls back transparently (host path result)
-    f = dt.deseq(dds, test="LRT", reduced="~ 1", fit_type="glmGamPoi",
-                 engine="auto")
-    assert f.attrs.get("engine") != "fused"
+    f = dt.deseq(dds, fit_type="glmGamPoi", engine="auto")
+    assert f.attrs.get("engine") is None
     # non-default config falls back too
     cfgd = dt.DESeqConfig(maxit_beta=50)
     with pytest.raises(ValueError, match="config"):
@@ -169,3 +168,38 @@ def test_engine_local_and_mean_trend():
         _cmp_dds(h, f, rtol=1e-6, atol=1e-10)
         _cmp_results(dt.results(h), dt.results(f), rtol=1e-6)
         assert f.dispersion_function.fit_type == ft
+
+
+def test_engine_glmgampoi_sc_route():
+    """deseq(fit_type='glmGamPoi', test='LRT') routes through the
+    streamed single-cell pipeline (one entry point for the SC story
+    too) and populates the host glmGamPoi columns identically —
+    group designs via the exact-linearMu group factorization,
+    covariate designs via the X-streamed path."""
+    dds = dt.make_example_dataset(n=300, m=20, beta_sd=1.0, seed=31)
+    h = dt.deseq(dds, test="LRT", reduced="~ 1", fit_type="glmGamPoi",
+                 engine="host")
+    f = dt.deseq(dds, test="LRT", reduced="~ 1", fit_type="glmGamPoi",
+                 engine="fused")
+    assert f.attrs["engine"] == "fused-sc"
+    _cmp_dds(h, f, rtol=1e-6, atol=1e-9)
+    assert f.attrs["quasiLikelihood_df0"] == pytest.approx(
+        h.attrs["quasiLikelihood_df0"], rel=1e-9)
+    _cmp_results(dt.results(h), dt.results(f), rtol=1e-6)
+
+    from deseq2_tpu.formula import Factor
+    dds2 = dt.make_example_dataset(n=250, m=20, beta_sd=1.0, seed=17)
+    dds2.col_data["batch"] = Factor(
+        np.array(["X", "Y"])[np.arange(20) % 2])
+    dds2.design = dt.parse_formula("~ batch + condition")
+    h2 = dt.deseq(dds2, test="LRT", reduced="~ batch",
+                  fit_type="glmGamPoi", engine="host")
+    f2 = dt.deseq(dds2, test="LRT", reduced="~ batch",
+                  fit_type="glmGamPoi", engine="fused")
+    # dispGeneIter: iteration-count diagnostic; a single gene lands via
+    # a different accept path on the X-streamed search (values match)
+    _cmp_dds(h2, f2, rtol=1e-6, atol=1e-9, skip=("dispGeneIter",))
+    _cmp_results(dt.results(h2), dt.results(f2), rtol=1e-6)
+    # glmGamPoi + Wald stays ineligible (reference warns against it)
+    with pytest.raises(ValueError, match="unavailable"):
+        dt.deseq(dds, fit_type="glmGamPoi", engine="fused")
