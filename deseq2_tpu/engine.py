@@ -118,9 +118,12 @@ def fused_ineligibility(dds, test, fit_type, sf_type, beta_prior,
                     "reference warns against the combination)")
         if "weights" in dds.assays:
             return "glmGamPoi cannot handle weights (host raises)"
-        if dds.normalization_factors is not None:
-            return ("glmGamPoi with normalization factors runs "
-                    "host-side")
+        if dds.normalization_factors is not None \
+                and _sc_group_mode(dds) is not None:
+            return ("glmGamPoi group design with normalization factors "
+                    "runs host-side (the streamed group factorization "
+                    "assumes shared per-sample factors; covariate "
+                    "designs stream the (G,S) factors)")
         if isinstance(dds.design, np.ndarray) or model_matrix is not None:
             return "glmGamPoi with a user model matrix runs host-side"
         if minmu is not None and minmu != 1e-6:
@@ -519,11 +522,14 @@ def deseq_sc_fused(dds, reduced, full=None, quiet=True, mesh=None,
     full_f = dds.design if full is None else parse_formula(full)
     comparison = f"'{full_f}' vs '{parse_formula(reduced)}'"
 
+    nf = dds.normalization_factors
     sf = dds.size_factors
-    if sf is None:
+    if sf is None and nf is None:
         sf = np.asarray(size_factors_dev(_device_counts(dds.counts)),
                         np.float64)
         dds.size_factors = sf
+    elif sf is None:
+        sf = np.ones(dds.n_samples)
 
     # a chunk that divides S avoids a padded copy of the counts
     # (another (G,S) buffer at 50k cells)
@@ -549,7 +555,8 @@ def deseq_sc_fused(dds, reduced, full=None, quiet=True, mesh=None,
     else:
         out = fused_sc_results(
             counts_in, size_factors=sf, design=mm,
-            reduced_design=reduced_mm, test="LRT", fit_type="glmGamPoi",
+            reduced_design=reduced_mm, norm_factors=nf, test="LRT",
+            fit_type="glmGamPoi",
             maxit=maxit, chunk=chunk, independent_filtering=False,
             mesh=mesh, quiet=quiet)
 

@@ -84,7 +84,7 @@ def _setup(counts, cells, size_factors, n_groups, chunk, dtype):
         ridge=jnp.diag(jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)))
 
 
-def _setup_x(counts, x, size_factors, chunk, dtype):
+def _setup_x(counts, x, size_factors, chunk, dtype, norm_factors=None):
     """X-based variant of _setup for arbitrary (small-p) model matrices
     (the reference's glmGamPoi path takes the full model matrix,
     R/core.R:789-816, 1898-1947): no group factorization — the
@@ -105,7 +105,13 @@ def _setup_x(counts, x, size_factors, chunk, dtype):
     xs = x_p.reshape(n_chunks, chunk, p)
     # padded rows carry x=0, v=0: excluded from every sum
     xtx = jnp.einsum("s,sp,sq->pq", valid_p, x_p, x_p)
+    nf_p = None
+    if norm_factors is not None:
+        nf_p = jnp.pad(norm_factors.astype(dtype), ((0, 0), (0, pad)),
+                       constant_values=1.0) if pad \
+            else norm_factors.astype(dtype)
     return dict(
+        nf_p=nf_p,
         counts_p=counts_p, G=G, S=S, Sp=Sp, p=p, idxs=idxs,
         sfs=sf_p.reshape(n_chunks, chunk),
         vs=valid_p.reshape(n_chunks, chunk),
@@ -136,9 +142,11 @@ def _make_lp_dlp_x(env, cnt, beta, min_mu, dtype, row_idx=None,
             if row_idx is not None:
                 y_blk = jnp.take(y_blk, row_idx, axis=0)
             y_f = y_blk.astype(dtype)
-            mu = jnp.maximum(sf_c[None, :] * jnp.exp(
-                jnp.dot(beta, x_c.T, preferred_element_type=dtype)),
-                min_mu)
+            mu = jnp.maximum(_mu_factor(env, i_c, sf_c, row_idx)
+                             * jnp.exp(jnp.dot(
+                                 beta, x_c.T,
+                                 preferred_element_type=dtype)),
+                             min_mu)
             mu = jnp.where(v_c[None, :] > 0, mu, 1.0)
             mua = mu * alpha[:, None]
             r = 1.0 / (1.0 + mua)      # single reciprocal (see group)
@@ -191,6 +199,20 @@ def _chunk_of(cnt, i, chunk):
     zero = jnp.zeros((), jnp.int32)
     return jax.lax.dynamic_slice(
         cnt, (zero, (i * chunk).astype(jnp.int32)), (cnt.shape[0], chunk))
+
+
+def _mu_factor(env, i_c, sf_c, row_idx=None):
+    """Per-chunk normalization for mu: the (g, chunk) gene x sample
+    normalization-factor block when present (tximport/avgTxLength
+    datasets, R/methods.R:286-361 — streamed exactly like the counts),
+    else the shared per-sample size-factor row."""
+    nf_p = env.get("nf_p")
+    if nf_p is None:
+        return sf_c[None, :]
+    blk = _chunk_of(nf_p, i_c, env["sfs"].shape[1])
+    if row_idx is not None:
+        blk = jnp.take(blk, row_idx, axis=0)
+    return blk
 
 
 HIST_K = 64   # count-tail histogram width for the low-count fast path
@@ -747,8 +769,10 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
     chunk = env0["sfs"].shape[1]
 
     def per_gene(counts_p, beta0, all_zero_l, alpha_l, base_mean_l,
-                 llaf_l, llar_l):
+                 llaf_l, llar_l, nf_loc=None):
         env = dict(env0, counts_p=counts_p)
+        if nf_loc is not None:
+            env["nf_p"] = nf_loc
         g_loc = counts_p.shape[0]
         z_g = jnp.zeros(g_loc, dtype)
         n_valid = env["n_valid"]
@@ -784,16 +808,17 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
                     if row_idx is not None:
                         y_blk = jnp.take(y_blk, row_idx, axis=0)
                     y_f = y_blk.astype(dtype)
-                    mu = jnp.maximum(sf_c[None, :] * jnp.exp(beta @ x_c.T),
+                    nfc = _mu_factor(env, i_c, sf_c, row_idx)
+                    mu = jnp.maximum(nfc * jnp.exp(beta @ x_c.T),
                                      min_mu)
                     lm = jnp.log(mu)
                     mua = d_alpha[:, None] * mu
                     # one reciprocal: w = mu*rr, and w*z folds to
-                    # rr*(mu*log(mu/sf) + y - mu) with no divides
+                    # rr*(mu*log(mu/nf) + y - mu) with no divides
                     rr = 1.0 / (1.0 + mua)
                     w = v_c[None, :] * (mu * rr)
                     wz = v_c[None, :] * rr * (
-                        mu * (lm - jnp.log(sf_c)[None, :]) + y_f - mu)
+                        mu * (lm - jnp.log(nfc)) + y_f - mu)
                     A += jnp.dot(w, xx_c, preferred_element_type=dtype)
                     r += jnp.dot(wz, x_c, preferred_element_type=dtype)
                     # stable difference form of the NB deviance:
@@ -938,12 +963,13 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
                             - (y_f + inv_a[:, None])
                             * jnp.log1p(mu * alp[:, None]))
 
-                mu_f = sf_c[None, :] * jnp.exp(beta @ x_c.T)
+                nfc = _mu_factor(env, i_c, sf_c)
+                mu_f = nfc * jnp.exp(beta @ x_c.T)
                 mu_f = jnp.where(v_c[None, :] > 0, mu_f, 1.0)
                 tf = row_terms(mu_f, szf, af)
                 ll_f += jnp.sum(v_c[None, :] * tf, axis=1)
                 if with_reduced:
-                    mu_r = base_mean_l[:, None] * sf_c[None, :]
+                    mu_r = base_mean_l[:, None] * nfc
                     mu_r = jnp.where(v_c[None, :] > 0,
                                      jnp.where(all_zero_l[:, None], 1.0,
                                                mu_r), 1.0)
@@ -1013,9 +1039,10 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
 @partial(jax.jit, static_argnames=("maxit", "min_disp_pow", "min_mu",
                                    "chunk", "mesh", "use_hist",
                                    "ovf_cap"))
-def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
-                 min_disp_pow=-8, min_mu=1e-6, chunk=DEFAULT_CHUNK,
-                 mesh=None, use_hist=False, ovf_cap=0):
+def _sc_stage1_x(counts, x, size_factors, grid, norm_factors=None,
+                 maxit=100, min_disp_pow=-8, min_mu=1e-6,
+                 chunk=DEFAULT_CHUNK, mesh=None, use_hist=False,
+                 ovf_cap=0):
     """Arbitrary-design gene-wise stage at single-cell scale: base
     stats + rough/moments init + a streamed GLM fit at the initial
     dispersions for mu + the dispersion MLE line search — the covariate
@@ -1027,18 +1054,27 @@ def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
     p = x.shape[1]
     min_disp = 10.0 ** min_disp_pow
     max_disp = jnp.maximum(10.0, S).astype(dtype)
-    env0 = _setup_x(counts, x, size_factors, chunk, dtype)
-    xim = jnp.sum(jnp.where(env0["valid_p"] > 0,
-                            1.0 / env0["sfs"].reshape(-1), 0.0)) \
-        / env0["n_valid"]
+    env0 = _setup_x(counts, x, size_factors, chunk, dtype,
+                    norm_factors=norm_factors)
+    if norm_factors is None:
+        xim = jnp.sum(jnp.where(env0["valid_p"] > 0,
+                                1.0 / env0["sfs"].reshape(-1), 0.0)) \
+            / env0["n_valid"]
+    else:
+        # momentsDispEstimate xim with gene x sample factors
+        # (R/core.R:2440-2444): mean over samples of 1/colMeans(nf)
+        xim = jnp.mean(1.0 / jnp.mean(norm_factors.astype(dtype),
+                                      axis=0))
     # the host inits the mu GLM via QR on log(normCounts + 0.1)
     # (fitNbinomGLMs.R:139-155); Q is (S,p) — computed once
     q_m, r_m = jnp.linalg.qr(x)
     q_pad = jnp.pad(q_m, ((0, env0["Sp"] - S), (0, 0)))
     qs = q_pad.reshape(-1, chunk, p)
 
-    def per_gene(counts_p):
+    def per_gene(counts_p, nf_loc=None):
         env = dict(env0, counts_p=counts_p)
+        if nf_loc is not None:
+            env["nf_p"] = nf_loc
         n_valid = env["n_valid"]
         g_loc = counts_p.shape[0]
         z_g = jnp.zeros(g_loc, dtype)
@@ -1048,7 +1084,7 @@ def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
             s_yn, s_yn2, tot, xty, qty = carry
             i_c, sf_c, v_c, x_c, q_c = xc
             y_c = _chunk_of(counts_p, i_c, chunk)
-            yn = y_c.astype(dtype) / sf_c[None, :]
+            yn = y_c.astype(dtype) / _mu_factor(env, i_c, sf_c)
             ynv = yn * v_c[None, :]
             s_yn += ynv.sum(axis=1)
             s_yn2 += (ynv * yn).sum(axis=1)
@@ -1074,7 +1110,7 @@ def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
         def rough_body(acc, xc):
             i_c, sf_c, v_c, x_c = xc
             y_c = _chunk_of(counts_p, i_c, chunk)
-            yn = y_c.astype(dtype) / sf_c[None, :]
+            yn = y_c.astype(dtype) / _mu_factor(env, i_c, sf_c)
             mu_ls = jnp.maximum(jnp.dot(beta_ls, x_c.T,
                                         preferred_element_type=dtype),
                                 1.0)
@@ -1097,7 +1133,7 @@ def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
         glm_pg = _make_glm_per_gene(env, maxit, min_mu, dtype,
                                     False, False)
         fit0 = glm_pg(counts_p, b0, all_zero, alpha_init, base_mean,
-                      alpha_init, alpha_init)
+                      alpha_init, alpha_init, nf_loc)
         beta_mu = fit0["beta"]
 
         if use_hist:
@@ -1114,11 +1150,13 @@ def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
 
     if mesh is not None and mesh.devices.size > 1:
         gP = _gene_spec(mesh)
-        return _smap(mesh, per_gene, (gP,),
-                     dict(base_mean=gP, base_var=gP, all_zero=gP,
-                          disp_gene_est=gP, disp_gene_iter=gP,
-                          beta_mu=gP, beta0=gP))(
-            env0["counts_p"])
+        outspec = dict(base_mean=gP, base_var=gP, all_zero=gP,
+                       disp_gene_est=gP, disp_gene_iter=gP,
+                       beta_mu=gP, beta0=gP)
+        if env0["nf_p"] is not None:
+            return _smap(mesh, per_gene, (gP, gP), outspec)(
+                env0["counts_p"], env0["nf_p"])
+        return _smap(mesh, per_gene, (gP,), outspec)(env0["counts_p"])
     return per_gene(env0["counts_p"])
 
 
@@ -1126,7 +1164,8 @@ def _sc_stage1_x(counts, x, size_factors, grid, maxit=100,
                                    "chunk", "mesh", "use_hist",
                                    "ovf_cap"))
 def _sc_stage_map_x(counts, x, size_factors, grid, beta_mu, all_zero,
-                    disp_gene_est, disp_fit, disp_prior_var, maxit=100,
+                    disp_gene_est, disp_fit, disp_prior_var,
+                    norm_factors=None, maxit=100,
                     min_disp_pow=-8, min_mu=1e-6, chunk=DEFAULT_CHUNK,
                     mesh=None, use_hist=False, ovf_cap=0):
     """MAP shrinkage line search for arbitrary designs (mu from the
@@ -1135,10 +1174,14 @@ def _sc_stage_map_x(counts, x, size_factors, grid, beta_mu, all_zero,
     G, S = counts.shape
     min_disp = 10.0 ** min_disp_pow
     max_disp = jnp.maximum(10.0, S).astype(dtype)
-    env0 = _setup_x(counts, x, size_factors, chunk, dtype)
+    env0 = _setup_x(counts, x, size_factors, chunk, dtype,
+                    norm_factors=norm_factors)
 
-    def per_gene(counts_p, beta_l, all_zero_l, dge_l, fit_l):
+    def per_gene(counts_p, beta_l, all_zero_l, dge_l, fit_l,
+                 nf_loc=None):
         env = dict(env0, counts_p=counts_p)
+        if nf_loc is not None:
+            env["nf_p"] = nf_loc
         disp_init = jnp.where(dge_l > 0.1 * fit_l, dge_l, fit_l)
         pm = jnp.log(fit_l)
         if use_hist:
@@ -1151,6 +1194,10 @@ def _sc_stage_map_x(counts, x, size_factors, grid, beta_mu, all_zero,
 
     if mesh is not None and mesh.devices.size > 1:
         gP = _gene_spec(mesh)
+        if env0["nf_p"] is not None:
+            return _smap(mesh, per_gene, (gP, gP, gP, gP, gP, gP), gP)(
+                env0["counts_p"], beta_mu, all_zero, disp_gene_est,
+                disp_fit, env0["nf_p"])
         return _smap(mesh, per_gene, (gP, gP, gP, gP, gP))(
             env0["counts_p"], beta_mu, all_zero, disp_gene_est,
             disp_fit)
@@ -1159,23 +1206,28 @@ def _sc_stage_map_x(counts, x, size_factors, grid, beta_mu, all_zero,
 
 
 @partial(jax.jit, static_argnames=("chunk", "mesh"))
-def _sc_qr_init_x(counts, x, size_factors, chunk=DEFAULT_CHUNK,
-                  mesh=None):
+def _sc_qr_init_x(counts, x, size_factors, norm_factors=None,
+                  chunk=DEFAULT_CHUNK, mesh=None):
     """Streamed QR beta init on log(normCounts + 0.1) for an arbitrary
     model matrix (fitNbinomGLMs.R:139-155) — one pass over the counts,
     (G,p) output."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     S = counts.shape[1]
     p = x.shape[1]
-    env0 = _setup_x(counts, x, size_factors, chunk, dtype)
+    env0 = _setup_x(counts, x, size_factors, chunk, dtype,
+                    norm_factors=norm_factors)
     q_m, r_m = jnp.linalg.qr(x.astype(dtype))
     qs = jnp.pad(q_m, ((0, env0["Sp"] - S), (0, 0))).reshape(-1, chunk, p)
 
-    def per_gene(counts_p):
+    def per_gene(counts_p, nf_loc=None):
+        env = dict(env0, counts_p=counts_p)
+        if nf_loc is not None:
+            env["nf_p"] = nf_loc
+
         def body(acc, xc):
             i_c, sf_c, v_c, q_c = xc
             y_c = _chunk_of(counts_p, i_c, chunk)
-            yn = y_c.astype(dtype) / sf_c[None, :]
+            yn = y_c.astype(dtype) / _mu_factor(env, i_c, sf_c)
             acc += jnp.dot(v_c[None, :] * jnp.log(yn + 0.1), q_c,
                            preferred_element_type=dtype)
             return acc, None
@@ -1187,6 +1239,9 @@ def _sc_qr_init_x(counts, x, size_factors, chunk=DEFAULT_CHUNK,
 
     if mesh is not None and mesh.devices.size > 1:
         gP = _gene_spec(mesh)
+        if env0["nf_p"] is not None:
+            return _smap(mesh, per_gene, (gP, gP), gP)(
+                env0["counts_p"], env0["nf_p"])
         return _smap(mesh, per_gene, (gP,))(env0["counts_p"])
     return per_gene(env0["counts_p"])
 
@@ -1196,13 +1251,15 @@ def _sc_qr_init_x(counts, x, size_factors, chunk=DEFAULT_CHUNK,
                                    "with_loglik"))
 def _sc_stage_glm_x(counts, x, size_factors, beta0, all_zero,
                     dispersion, base_mean, ll_alpha_full=None,
-                    ll_alpha_red=None, maxit=100, min_disp_pow=-8,
+                    ll_alpha_red=None, norm_factors=None, maxit=100,
+                    min_disp_pow=-8,
                     min_mu=1e-6, chunk=DEFAULT_CHUNK, mesh=None,
                     with_reduced=False, with_loglik=False):
     """Streamed ridge IRLS for an arbitrary model matrix (same core as
     the group _sc_stage_glm via _make_glm_per_gene)."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    env0 = _setup_x(counts, x, size_factors, chunk, dtype)
+    env0 = _setup_x(counts, x, size_factors, chunk, dtype,
+                    norm_factors=norm_factors)
     if ll_alpha_full is None:
         ll_alpha_full = dispersion
     if ll_alpha_red is None:
@@ -1211,6 +1268,11 @@ def _sc_stage_glm_x(counts, x, size_factors, beta0, all_zero,
                                   with_reduced, with_loglik)
     if mesh is not None and mesh.devices.size > 1:
         gP = _gene_spec(mesh)
+        if env0["nf_p"] is not None:
+            return _smap(mesh, per_gene,
+                         (gP, gP, gP, gP, gP, gP, gP, gP))(
+                env0["counts_p"], beta0, all_zero, dispersion,
+                base_mean, ll_alpha_full, ll_alpha_red, env0["nf_p"])
         return _smap(mesh, per_gene, (gP, gP, gP, gP, gP, gP, gP))(
             env0["counts_p"], beta0, all_zero, dispersion, base_mean,
             ll_alpha_full, ll_alpha_red)
@@ -1341,7 +1403,8 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
                      chunk=DEFAULT_CHUNK, test="Wald",
                      fit_type="parametric", alpha=0.1,
                      independent_filtering=True, mesh=None, quiet=True,
-                     design=None, reduced_design=None):
+                     design=None, reduced_design=None,
+                     norm_factors=None):
     """Full single-cell-scale DESeq results: staged streamed pipeline.
 
     - fit_type="glmGamPoi": loc_median_fit dispersion trend
@@ -1366,6 +1429,11 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
 
     G, S = counts.shape
     use_x = design is not None
+    if norm_factors is not None and not use_x:
+        raise ValueError("norm_factors at single-cell scale require the "
+                         "design= (model matrix) mode — the group "
+                         "factorization assumes shared per-sample "
+                         "factors")
     if use_x:
         design = np.asarray(design, np.float64)
         if design.shape[0] != S:
@@ -1412,6 +1480,10 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
             design_d = jax.device_put(design, rep)
             if reduced_design is not None:
                 reduced_d = jax.device_put(reduced_design, rep)
+            if norm_factors is not None:
+                nf_h, _ = pad_to_multiple(
+                    np.asarray(norm_factors, np.float64), n_dev, 1.0)
+                norm_factors = jax.device_put(nf_h, shard_genes(mesh))
         else:
             cells = jax.device_put(np.asarray(cells, np.int32), rep)
         size_factors = jax.device_put(np.asarray(size_factors), rep)
@@ -1423,6 +1495,8 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
             design_d = jnp.asarray(design)
             if reduced_design is not None:
                 reduced_d = jnp.asarray(reduced_design)
+            if norm_factors is not None:
+                norm_factors = jnp.asarray(np.asarray(norm_factors))
         else:
             cells = jnp.asarray(cells, jnp.int32)
         size_factors = jnp.asarray(np.asarray(size_factors))
@@ -1460,7 +1534,7 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
 
     if use_x:
         st1 = _sc_stage1_x(counts, design_d, size_factors, grid_d,
-                           **kw, **hkw)
+                           norm_factors=norm_factors, **kw, **hkw)
     else:
         st1 = _sc_stage1(counts, cells, size_factors, grid_d,
                          **kwg, **hkw)
@@ -1508,6 +1582,7 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
             disp_map = _sc_stage_map_x(counts, design_d, size_factors,
                                        grid_d, st1["beta_mu"], all_zero,
                                        dge, disp_fit, disp_prior_var,
+                                       norm_factors=norm_factors,
                                        **kw, **hkw)
         else:
             disp_map = _sc_stage_map(counts, cells, size_factors, grid_d,
@@ -1532,14 +1607,17 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
                               st1["beta0"], all_zero, fit_alpha,
                               base_mean, ll_alpha_full=dispersion,
                               ll_alpha_red=fit_alpha,
+                              norm_factors=norm_factors,
                               with_reduced=red_closed, with_loglik=lrt,
                               **kw)
         if lrt and not red_closed:
             b0r = _sc_qr_init_x(counts, reduced_d, size_factors,
+                                norm_factors=norm_factors,
                                 chunk=chunk, mesh=mesh)
             glm_r = _sc_stage_glm_x(counts, reduced_d, size_factors,
                                     b0r, all_zero, fit_alpha, base_mean,
                                     ll_alpha_full=dispersion,
+                                    norm_factors=norm_factors,
                                     with_reduced=False, with_loglik=True,
                                     **kw)
             glm = dict(glm, ll_reduced=glm_r["ll_full"])

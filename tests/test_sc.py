@@ -269,3 +269,48 @@ def test_sc_histogram_fast_path_exact():
                            use_hist=True, ovf_cap=cap, **kw)
     np.testing.assert_allclose(np.asarray(m_a), np.asarray(m_b),
                                rtol=1e-10)
+
+
+def test_sc_norm_factors_covariate_matches_host():
+    """(G,S) normalization factors at single-cell scale (the
+    tximport/avgTxLength contract) stream through the X-mode SC path —
+    mu = nf[g,s]*exp(X beta), nf chunked exactly like the counts — and
+    match the host glmGamPoi path column-for-column; also reachable
+    through the public deseq() engine route."""
+    from deseq2_tpu.formula import Factor
+    from deseq2_tpu.parallel.sc import fused_sc_results
+    dds = dt.make_example_dataset(n=220, m=20, beta_sd=1.0, seed=19)
+    dds.col_data["batch"] = Factor(np.array(["X", "Y"])[np.arange(20) % 2])
+    dds.design = dt.parse_formula("~ batch + condition")
+    rng = np.random.default_rng(6)
+    nf = np.exp(rng.normal(0, 0.2, dds.counts.shape))
+    nf = nf / np.exp(np.mean(np.log(nf), axis=1))[:, None]
+    dds.normalization_factors = nf
+    h = dt.deseq(dds, test="LRT", reduced="~ batch",
+                 fit_type="glmGamPoi", engine="host")
+    res = dt.results(h)
+    mm, _ = dds.model_matrix()
+    mmr, _ = dds.model_matrix("~ batch")
+    o = fused_sc_results(np.asarray(dds.counts),
+                         size_factors=np.ones(20), design=mm,
+                         reduced_design=mmr, norm_factors=nf,
+                         test="LRT", fit_type="glmGamPoi", chunk=7)
+    for k in ("baseMean", "dispGeneEst", "dispFit", "qlDispMAP",
+              "dispersion", "LRTStatistic", "LRTPvalue"):
+        _cmp(h.row_data[k], o[k], f"nf {k}")
+    _cmp(res["padj"], o["padj"], "nf padj")
+    # public API route
+    f = dt.deseq(dds, test="LRT", reduced="~ batch",
+                 fit_type="glmGamPoi", engine="fused")
+    assert f.attrs["engine"] == "fused-sc"
+    _cmp(res["padj"], np.asarray(dt.results(f)["padj"], float),
+         "routed nf padj")
+    # group factorization + nf stays host-side with a clear reason
+    dds2 = dt.make_example_dataset(n=100, m=10, beta_sd=1.0, seed=3)
+    nf2 = np.exp(np.random.default_rng(1).normal(0, 0.1,
+                                                 dds2.counts.shape))
+    dds2.normalization_factors = \
+        nf2 / np.exp(np.mean(np.log(nf2), axis=1))[:, None]
+    with pytest.raises(ValueError, match="group design with normal"):
+        dt.deseq(dds2, test="LRT", reduced="~ 1", fit_type="glmGamPoi",
+                 engine="fused")
