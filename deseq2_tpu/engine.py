@@ -52,8 +52,8 @@ def _device_counts(counts):
 
     deseq() copies the dataset (reference semantics: the user's object
     is never mutated), so identity-based caching can never hit; the
-    cache keys on CONTENT instead — shape, dtype and two strided
-    checksums (~16k elements, ~100 us) — and holds the device array for
+    cache keys on CONTENT instead — shape, dtype, the full-pass sum
+    and two strided checksums — and holds the device array for
     the handful of matrices a session analyzes repeatedly.  On a
     network-attached accelerator the upload is seconds (measured
     ~34 MB/s through the axon tunnel for 245 MB at 60k x 1024), so a
@@ -65,9 +65,14 @@ def _device_counts(counts):
     a = np.asarray(counts)
     n = a.size
     flat = a.reshape(-1)
+    # full-pass sum (~20 ms at 60M int32 — vs the seconds of upload it
+    # saves) catches any mutation that changes the total; the two
+    # strided sums catch compensating edits (a swap preserving the
+    # total would additionally have to dodge ~12k sampled positions)
+    s0 = int(flat.sum(dtype=np.int64))
     s1 = int(flat[::max(1, n // 8192)].astype(np.int64).sum())
     s2 = int(flat[7::max(1, n // 4099)].astype(np.int64).sum())
-    key = (a.shape, str(a.dtype), s1, s2)
+    key = (a.shape, str(a.dtype), s0, s1, s2)
     hit = _UPLOAD_CACHE.get(key)
     if hit is not None:
         return hit

@@ -203,3 +203,19 @@ def test_engine_glmgampoi_sc_route():
     # glmGamPoi + Wald stays ineligible (reference warns against it)
     with pytest.raises(ValueError, match="unavailable"):
         dt.deseq(dds, fit_type="glmGamPoi", engine="fused")
+
+
+def test_engine_upload_cache_sees_mutations():
+    """The device-placement cache must never serve stale counts: an
+    in-place single-element mutation changes the full-pass checksum and
+    forces a re-upload."""
+    dds = dt.make_example_dataset(n=150, m=10, beta_sd=1.0, seed=13)
+    f1 = dt.deseq(dds, engine="fused")
+    dds.counts[3, 4] += 500          # in-place edit, same buffer
+    f2 = dt.deseq(dds, engine="fused")
+    h2 = dt.deseq(dds, engine="host")
+    np.testing.assert_allclose(
+        np.asarray(f2.row_data["baseMean"], float),
+        np.asarray(h2.row_data["baseMean"], float), rtol=1e-9)
+    assert not np.allclose(np.asarray(f1.row_data["baseMean"], float),
+                           np.asarray(f2.row_data["baseMean"], float))
