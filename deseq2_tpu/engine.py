@@ -276,7 +276,6 @@ def deseq_fused(dds, test="Wald", fit_type="parametric", sf_type="ratio",
         cells = tuple(int(c) for c in fac.codes)
     else:
         cells = design_cells(mm)
-    two_group = _two_group(dds)
     lin_mu = weights is None and len(set(cells)) == mm.shape[1]
     min_reps = (int(min_replicates_for_replace)
                 if np.isfinite(min_replicates_for_replace)

@@ -1510,7 +1510,7 @@ def fused_results(counts, x, size_factors=None, maxit=100, min_disp=1e-8,
                                     theta=out["filterTheta"],
                                     cutoffs=out["filterCutoffs"]))
         num_rej, theta = small["num_rej"], small["theta"]
-        j, lx, lo_y = choose_filter_theta(theta, num_rej)
+        j, _, _ = choose_filter_theta(theta, num_rej)
         # filterPadj is (n_theta, padded_G): strip mesh gene padding
         cols["padj"] = out["filterPadj"][j][:np.shape(counts)[0]]
         res = jax.device_get(cols)

@@ -1552,7 +1552,6 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
     disp_outlier = jnp.log(dge) > jnp.log(disp_fit) + \
         2.0 * jnp.sqrt(var_log_disp)
 
-    ql = None
     if fit_type == "glmGamPoi":
         # QL shrinkage on host (G-vector ops; R/core.R:1064-1096),
         # reusing the single batched fetch from the trend stage
@@ -1568,7 +1567,6 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
         disp_map[nzm] = disp_map_nz
         disp_map_d = jnp.asarray(disp_map, base_mean.dtype)
         dispersion = jnp.where(disp_outlier, dge, disp_map_d)
-        ql = shrink
         for k_src, k_dst in (("ql_disp_estimate", "qlDispMLE"),
                              ("ql_disp_trend", "qlDispFit"),
                              ("ql_disp_shrunken", "qlDispMAP")):
