@@ -456,11 +456,22 @@ def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
             s = (s[0],) + tuple(v[loc] for v in s[1:])
             abs_idx = abs_new
             pm_c = pm[abs_idx] if jnp.ndim(pm) else pm
-            body_sub = make_body(
-                make_lp(env, counts_p, q_mu[abs_idx], min_mu, dtype,
-                        abs_idx,
-                        tails=None if tails is None else tails[abs_idx]),
-                pm_c, pv)
+            t_sub = None if tails is None else tails[abs_idx]
+            if cap * counts_p.shape[1] * 4 <= 1_600_000_000:
+                # dense straggler block (see _ovf_subproblem): one row
+                # gather beats per-chunk gathers ~8x per element
+                cnt_sub = jnp.take(counts_p, abs_idx, axis=0)
+                env_sub = dict(env, counts_p=cnt_sub)
+                if env.get("nf_p") is not None:
+                    env_sub["nf_p"] = jnp.take(env["nf_p"], abs_idx,
+                                               axis=0)
+                body_sub = make_body(
+                    make_lp(env_sub, cnt_sub, q_mu[abs_idx], min_mu,
+                            dtype, None, tails=t_sub), pm_c, pv)
+            else:
+                body_sub = make_body(
+                    make_lp(env, counts_p, q_mu[abs_idx], min_mu, dtype,
+                            abs_idx, tails=t_sub), pm_c, pv)
             nxt = caps[ci + 1] if ci + 1 < len(caps) else None
             s = run_phase(s, body_sub, nxt)
         for ostate, loc in reversed(outer):
@@ -507,12 +518,8 @@ def _gene_est_hist(env, mu_state, alpha_init, grid, maxit, min_disp,
     if ovf_cap > 0:
         ovf = max_y >= HIST_K
         idx = compact_live_indices(ovf, ovf_cap)
-
-        def sub_make(e, c, ms, mm, dt, ri=None, tails=None):
-            return base_make(e, c, ms, mm, dt,
-                             idx if ri is None else idx[ri])
-
-        dge2, it2 = _gene_est_search(env, mu_state[idx],
+        env_sub, sub_make = _ovf_subproblem(env, idx, base_make)
+        dge2, it2 = _gene_est_search(env_sub, mu_state[idx],
                                      alpha_init[idx], grid, maxit,
                                      min_disp, min_mu, dtype, max_disp,
                                      sub_make)
@@ -520,6 +527,31 @@ def _gene_est_hist(env, mu_state, alpha_init, grid, maxit, min_disp,
         dge = dge.at[idx].set(jnp.where(sel, dge2, dge[idx]))
         it = it.at[idx].set(jnp.where(sel, it2, it[idx]))
     return dge, it
+
+
+def _ovf_subproblem(env, idx, base_make):
+    """Sub-problem environment for the overflow redo.  When the
+    compacted block fits a modest buffer, gather its count rows ONCE
+    into a dense matrix — the per-chunk row gathers of the row_idx
+    path cost ~8x per element (measured: 1.6 s for a 2048-gene redo at
+    50k cells vs ~0.2 s dense).  Past the budget (only reachable when
+    the histogram path was worth disabling anyway) fall back to the
+    gathering formulation."""
+    cap = idx.shape[0]
+    Sp = env["counts_p"].shape[1]
+    itemsize = 4
+    if cap * Sp * itemsize <= 1_600_000_000:
+        env_sub = dict(env, counts_p=jnp.take(env["counts_p"], idx,
+                                              axis=0))
+        if env.get("nf_p") is not None:
+            env_sub["nf_p"] = jnp.take(env["nf_p"], idx, axis=0)
+        return env_sub, base_make
+
+    def sub_make(e, c, ms, mm, dt, ri=None, tails=None):
+        return base_make(e, c, ms, mm, dt,
+                         idx if ri is None else idx[ri])
+
+    return env, sub_make
 
 
 def _map_search(env, mu_state, disp_init, pm, pv, grid, maxit,
@@ -547,14 +579,10 @@ def _map_hist(env, mu_state, disp_init, pm, pv, grid, maxit, min_disp,
     if ovf_cap > 0:
         ovf = max_y >= HIST_K
         idx = compact_live_indices(ovf, ovf_cap)
-
-        def sub_make(e, c, ms, mm, dt, ri=None, tails=None):
-            return base_make(e, c, ms, mm, dt,
-                             idx if ri is None else idx[ri])
-
-        dm2 = _map_search(env, mu_state[idx], disp_init[idx], pm[idx],
-                          pv, grid, maxit, min_disp, min_mu, dtype,
-                          max_disp, sub_make)
+        env_sub, sub_make = _ovf_subproblem(env, idx, base_make)
+        dm2 = _map_search(env_sub, mu_state[idx], disp_init[idx],
+                          pm[idx], pv, grid, maxit, min_disp, min_mu,
+                          dtype, max_disp, sub_make)
         dm = dm.at[idx].set(jnp.where(ovf[idx], dm2, dm[idx]))
     return dm
 
@@ -784,7 +812,8 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
         eps = jnp.finfo(dtype).eps
         beta_tol = jnp.maximum(1e-8, 30.0 * eps)
 
-        def make_irls(dcl, row_idx, with_const=False):
+        def make_irls(dcl, row_idx, with_const=False, cnt=None,
+                      env_l=None):
             """IRLS closures for the full batch (row_idx=None) or a
             compacted straggler block.
 
@@ -799,16 +828,18 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
             beta-independent lgamma deviance constant in the same sweep
             (saves the separate dev_const pass)."""
             d_size, d_alpha, d_devc = dcl
+            cnt_src = counts_p if cnt is None else cnt
+            env_src = env if env_l is None else env_l
 
             def irls_pass(beta):
                 def body(carry, xc):
                     A, r, dev, dc = carry
                     i_c, sf_c, v_c, x_c, xx_c = xc
-                    y_blk = _chunk_of(counts_p, i_c, chunk)
+                    y_blk = _chunk_of(cnt_src, i_c, chunk)
                     if row_idx is not None:
                         y_blk = jnp.take(y_blk, row_idx, axis=0)
                     y_f = y_blk.astype(dtype)
-                    nfc = _mu_factor(env, i_c, sf_c, row_idx)
+                    nfc = _mu_factor(env_src, i_c, sf_c, row_idx)
                     mu = jnp.maximum(nfc * jnp.exp(beta @ x_c.T),
                                      min_mu)
                     lm = jnp.log(mu)
@@ -918,8 +949,19 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
             live = state[7] > 0.5
             idx = compact_live_indices(live, cap)
             sub = (state[0],) + tuple(v[idx] for v in state[1:])
-            _, body_sub = make_irls(tuple(v[idx] for v in data_full),
-                                    idx)
+            if cap * env["counts_p"].shape[1] * 4 <= 1_600_000_000:
+                # dense straggler block: one row gather, then regular
+                # streaming (per-chunk row gathers cost ~8x/element)
+                cnt_sub = jnp.take(counts_p, idx, axis=0)
+                env_sub = dict(env, counts_p=cnt_sub)
+                if env.get("nf_p") is not None:
+                    env_sub["nf_p"] = jnp.take(env["nf_p"], idx, axis=0)
+                _, body_sub = make_irls(
+                    tuple(v[idx] for v in data_full), None,
+                    cnt=cnt_sub, env_l=env_sub)
+            else:
+                _, body_sub = make_irls(
+                    tuple(v[idx] for v in data_full), idx)
             sub = jax.lax.while_loop(irls_cond, body_sub, sub)
             state = (sub[0],) + tuple(
                 full.at[idx].set(part)
