@@ -246,8 +246,9 @@ def deseq_fused(dds, test="Wald", fit_type="parametric", sf_type="ratio",
     weights = None
     if "weights" in dds.assays:
         try:
-            weights = _validated_weights(
-                np.asarray(dds.assays["weights"], np.float64), mm)
+            # validated on device; returns the device-resident array so
+            # the (G,S) matrix is uploaded exactly once
+            weights = _validated_weights(dds.assays["weights"], mm)
         except ValueError:
             return None   # host path handles weightsFail demotion
 
@@ -475,7 +476,8 @@ def deseq_fused(dds, test="Wald", fit_type="parametric", sf_type="ratio",
            "maximum Cook's distance for row")
     if use_t:
         if weights is not None:
-            wn = weights / weights.max(axis=1, keepdims=True)
+            w_h = np.asarray(weights, np.float64)
+            wn = w_h / w_h.max(axis=1, keepdims=True)
             df = wn.sum(axis=1) - mm.shape[1]
         else:
             df = np.full(dds.n_genes,

@@ -132,8 +132,9 @@ def _chol_logdet_inv(b_cols, p):
     return logdet, binv
 
 
-def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
-               outf_ref, outi_ref, *, p, maxit, use_prior, use_cr):
+def _ls_kernel(y_ref, mu_ref, w_ref, xx_ref, la0_ref, pm_ref, scal_ref,
+               outf_ref, outi_ref, *, p, maxit, use_prior, use_cr,
+               use_w):
     a0 = la0_ref[:]         # (BG, 1)
     pm = pm_ref[:]          # (BG, 1)
     s_valid = scal_ref[0]
@@ -141,11 +142,34 @@ def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
     kappa_0 = scal_ref[2]
     tol = scal_ref[3]
     min_la = scal_ref[4]
+    w_thr = scal_ref[5]
 
     BG, Sp = y_ref.shape
     dtype = y_ref.dtype
     n_valid = s_valid.astype(dtype)
     n_chunks = Sp // _LANE
+
+    # weighted Cox-Reid masks (make_cr_masks, ops/disp.py:37-52):
+    # rows with weight <= threshold leave the CR term; columns with no
+    # selected support drop out via an identity diagonal.  Computed
+    # once per block from the fixed weights.
+    cm = None
+    if use_w and use_cr:
+        col_acc = [None] * p
+        for c in range(n_chunks):
+            sl = slice(c * _LANE, (c + 1) * _LANE)
+            col = jax.lax.broadcasted_iota(jnp.int32, (BG, _LANE), 1) \
+                + c * _LANE
+            fv = (col < s_valid.astype(jnp.int32)).astype(dtype)
+            rm = fv * (w_ref[:, sl] > w_thr).astype(dtype)
+            for k in range(p):
+                # |x_k| support under the selected rows; xx diag column
+                # k*p+k is x_k^2 >= 0 with the same support as |x_k|
+                acc = jnp.sum(rm * xx_ref[sl, k * p + k][None, :],
+                              axis=1, keepdims=True)
+                col_acc[k] = acc if col_acc[k] is None \
+                    else col_acc[k] + acc
+        cm = [(a > 0.0).astype(dtype) for a in col_acc]
 
     def lp_dlp(la):
         """Fused log-posterior + derivative at la ((BG,1) -> two (BG,1)).
@@ -170,21 +194,26 @@ def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
             col = jax.lax.broadcasted_iota(jnp.int32, (BG, _LANE), 1) \
                 + c * _LANE
             fvalid = (col < s_valid.astype(jnp.int32)).astype(dtype)
+            wts = fvalid * w_ref[:, sl] if use_w else fvalid
             mu_inv_a = mu + inv_a
             mua = mu * alpha
             log1p_mua = jnp.log1p(mua)
             ll_c = jnp.sum(
-                fvalid * (_lgamma_diff_centered(y, inv_a)
-                          - (y + inv_a) * log1p_mua),
+                wts * (_lgamma_diff_centered(y, inv_a)
+                       - (y + inv_a) * log1p_mua),
                 axis=1, keepdims=True)
             ll = ll_c if ll is None else ll + ll_c
             s1_c = jnp.sum(
-                fvalid * (log1p_mua - mua / (1.0 + mua)
-                          + y / mu_inv_a - _digamma_diff(y, inv_a)),
+                wts * (log1p_mua - mua / (1.0 + mua)
+                       + y / mu_inv_a - _digamma_diff(y, inv_a)),
                 axis=1, keepdims=True)
             s1 = s1_c if s1 is None else s1 + s1_c
             if use_cr:
                 w = 1.0 / (1.0 / mu + alpha)   # padded cols: xx row is 0
+                if use_w:
+                    # the reference SUBSETS CR rows (weight > threshold)
+                    # rather than weighting them (cpp:38-44)
+                    w = w * (w_ref[:, sl] > w_thr).astype(dtype) * fvalid
                 xx_c = xx_ref[sl, :]
                 b_c = jnp.dot(w, xx_c, preferred_element_type=dtype)
                 db_c = jnp.dot(-w * w, xx_c, preferred_element_type=dtype)
@@ -194,11 +223,22 @@ def _ls_kernel(y_ref, mu_ref, xx_ref, la0_ref, pm_ref, scal_ref,
         dlp = s1 / (alpha * alpha)
         if use_cr:
             b_cols = [b[:, k:k + 1] for k in range(p * p)]
+            db_cols = [db[:, k:k + 1] for k in range(p * p)]
+            if cm is not None:
+                # column-mask the CR matrices (identity-embed dropped
+                # columns of b so the kept submatrix's logdet survives;
+                # db dropped rows/cols are 0 — _cr_b_matrices)
+                for i in range(p):
+                    for j in range(p):
+                        m = cm[i] * cm[j]
+                        b_cols[i * p + j] = b_cols[i * p + j] * m
+                        db_cols[i * p + j] = db_cols[i * p + j] * m
+                    b_cols[i * p + i] = b_cols[i * p + i] + (1.0 - cm[i])
             logdet, binv = _chol_logdet_inv(b_cols, p)
             lp = lp - 0.5 * logdet
             tr = 0.0
             for k in range(p * p):  # b, db symmetric: tr(b^-1 db)
-                tr = tr + binv[k] * db[:, k:k + 1]
+                tr = tr + binv[k] * db_cols[k]
             dlp = dlp - 0.5 * tr
         dlp = dlp * alpha
         if use_prior:
@@ -279,22 +319,28 @@ _MAX_CHUNKS = 16  # unrolled S-chunks per lp/dlp eval: caps compile size
 
 def pallas_ls_supported(S, p, dtype, use_weights=False,
                         vmem_budget=12 * 1024 * 1024):
-    """Whether the Pallas line-search kernel applies to this shape."""
-    if use_weights or p > 8 or dtype == jnp.float64:
+    """Whether the Pallas line-search kernel applies to this shape.
+    Observation weights stream as one more (bg, Sp) VMEM block (the
+    weighted Cox-Reid row subset + column drops run masked in-kernel,
+    cpp:38-44)."""
+    if p > 8 or dtype == jnp.float64:
         return False
     Sp = -(-S // _LANE) * _LANE
     if Sp // _LANE > _MAX_CHUNKS:
         return False
-    return _block_g(Sp, jnp.dtype(dtype).itemsize, vmem_budget) >= 64
+    return _block_g(Sp, jnp.dtype(dtype).itemsize, vmem_budget,
+                    use_weights) >= 64
 
 
-def _block_g(Sp, itemsize, vmem_budget=12 * 1024 * 1024):
+def _block_g(Sp, itemsize, vmem_budget=12 * 1024 * 1024,
+             use_weights=False):
     """Largest power-of-two gene block fitting scoped VMEM.
 
     Per-gene bytes ~ 70 lane-width elementwise temporaries (live per
     S-chunk only; measured ~64 on v5e) + double-buffered y/mu input
-    blocks (2 arrays x 2)."""
-    per_gene = (70 * _LANE + 4 * Sp) * itemsize
+    blocks (2 arrays x 2) (+ the weights block when streaming)."""
+    per_gene = ((70 * _LANE + 4 * Sp)
+                + (2 * Sp if use_weights else 0)) * itemsize
     bg = 1024
     while bg >= 64 and bg * per_gene > vmem_budget:
         bg //= 2
@@ -306,7 +352,8 @@ def _block_g(Sp, itemsize, vmem_budget=12 * 1024 * 1024):
 def fit_disp_line_search_pallas(y, x, mu, log_alpha_init, prior_mean,
                                 prior_var, min_log_alpha, kappa_0=1.0,
                                 tol=1e-6, maxit=100, use_prior=False,
-                                use_cr=True, interpret=False):
+                                use_cr=True, interpret=False,
+                                weights=None, weight_threshold=1e-2):
     """Batched fitDisp as a single fused Pallas kernel.
 
     Same contract as ops/disp.py:_fit_disp_line_search_core (minus the
@@ -319,9 +366,10 @@ def fit_disp_line_search_pallas(y, x, mu, log_alpha_init, prior_mean,
     dtype = mu.dtype
     y = y.astype(dtype)
     x = x.astype(dtype)
+    use_w = weights is not None
 
     Sp = -(-S // _LANE) * _LANE
-    bg = _block_g(Sp, jnp.dtype(dtype).itemsize)
+    bg = _block_g(Sp, jnp.dtype(dtype).itemsize, use_weights=use_w)
     Gp = -(-G // bg) * bg
     # padded genes: y=1, mu=1 converge instantly and stay finite
     y_p = jnp.pad(y, ((0, Gp - G), (0, Sp - S)), constant_values=0.0)
@@ -336,14 +384,25 @@ def fit_disp_line_search_pallas(y, x, mu, log_alpha_init, prior_mean,
     xx = (x[:, :, None] * x[:, None, :]).reshape(S, p * p)
     xx_p = jnp.pad(xx, ((0, Sp - S), (0, 0)))
 
+    if use_w:
+        w_p = jnp.pad(weights.astype(dtype), ((0, Gp - G), (0, Sp - S)),
+                      constant_values=1.0)
+    else:
+        w_p = jnp.ones((1, Sp), dtype)   # dummy replicated row
     scal = jnp.stack([jnp.asarray(S, dtype),
                       jnp.asarray(prior_var, dtype),
                       jnp.asarray(kappa_0, dtype),
                       jnp.asarray(tol, dtype),
-                      jnp.asarray(min_log_alpha, dtype)])
+                      jnp.asarray(min_log_alpha, dtype),
+                      jnp.asarray(weight_threshold, dtype)])
 
     kernel = functools.partial(_ls_kernel, p=p, maxit=maxit,
-                               use_prior=use_prior, use_cr=use_cr)
+                               use_prior=use_prior, use_cr=use_cr,
+                               use_w=use_w)
+    w_spec = (pl.BlockSpec((bg, Sp), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM) if use_w else
+              pl.BlockSpec((1, Sp), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM))
     outf, outi = pl.pallas_call(
         kernel,
         grid=(Gp // bg,),
@@ -352,6 +411,7 @@ def fit_disp_line_search_pallas(y, x, mu, log_alpha_init, prior_mean,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bg, Sp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((Sp, p * p), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bg, 1), lambda i: (i, 0),
@@ -367,7 +427,7 @@ def fit_disp_line_search_pallas(y, x, mu, log_alpha_init, prior_mean,
         out_shape=(jax.ShapeDtypeStruct((Gp, 6), dtype),
                    jax.ShapeDtypeStruct((Gp, 2), jnp.int32)),
         interpret=interpret,
-    )(y_p, mu_p, xx_p, la0_p, pm_p, scal)
+    )(y_p, mu_p, w_p, xx_p, la0_p, pm_p, scal)
     return dict(log_alpha=outf[:G, 0], initial_lp=outf[:G, 1],
                 initial_dlp=outf[:G, 2], last_lp=outf[:G, 3],
                 last_dlp=outf[:G, 4], last_change=outf[:G, 5],

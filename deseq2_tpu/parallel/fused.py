@@ -54,9 +54,11 @@ def _use_pallas_grid(S, p, dtype):
     return _pallas_enabled() and pallas_grid_supported(S, p, dtype)
 
 
-def _use_pallas_ls(S, p, dtype):
-    """Route the dispersion line search through the fused Pallas kernel."""
-    return _pallas_enabled() and pallas_ls_supported(S, p, dtype)
+def _use_pallas_ls(S, p, dtype, use_weights=False):
+    """Route the dispersion line search through the fused Pallas kernel
+    (weights stream in-kernel incl. the masked weighted Cox-Reid)."""
+    return _pallas_enabled() and pallas_ls_supported(
+        S, p, dtype, use_weights=use_weights)
 
 
 def _use_pallas_irls(S, p, dtype, use_weights=False):
@@ -405,10 +407,11 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         # GeneEst's floor)
         weights = weights.astype(dtype)
         linear_mu = False          # host rule: weights disable linearMu
-    # weights: the IRLS kernel streams them; the dispersion kernels
-    # stay on the XLA cores (the weighted Cox-Reid drops zero-weight
-    # columns per gene — ragged shapes hostile to the VMEM layout)
-    use_ls_pallas = _use_pallas_ls(S, p, dtype) and not use_w
+    # weights stream through both kernels (the weighted Cox-Reid's
+    # row subset + per-gene column drops run masked in-kernel); only
+    # the weighted GRID fallback stays on the XLA cores (it serves a
+    # compacted straggler subset)
+    use_ls_pallas = _use_pallas_ls(S, p, dtype, use_weights=use_w)
     use_irls_pallas = _use_pallas_irls(S, p, dtype, use_weights=use_w)
     lam_nat = jnp.full(p, 1e-6 / LN2 ** 2, dtype=dtype)
 
@@ -536,7 +539,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         if use_ls_pallas:
             mle = fit_disp_line_search_pallas(y_safe, x, mu_safe, la0, la0,
                                               1.0, min_la, maxit=maxit,
-                                              use_prior=False)
+                                              use_prior=False,
+                                              weights=w_ge)
         else:
             mle = _fit_disp_line_search_core(y_safe, x, mu_safe, la0, la0,
                                              1.0, min_la, maxit=maxit,
@@ -633,7 +637,8 @@ def fused_wald_pipeline(counts, x, size_factors, grid, maxit=100,
         if use_ls_pallas:
             map_res = fit_disp_line_search_pallas(
                 y_safe, x, mu_safe, jnp.log(disp_init), jnp.log(disp_fit),
-                disp_prior_var, min_la, maxit=maxit, use_prior=True)
+                disp_prior_var, min_la, maxit=maxit, use_prior=True,
+                weights=w_loc)
         else:
             map_res = _fit_disp_line_search_core(
                 y_safe, x, mu_safe, jnp.log(disp_init), jnp.log(disp_fit),
@@ -1311,10 +1316,8 @@ def pallas_fallback_note(S, p, use_weights=False):
         return
     dtype = jnp.float32
     slow = []
-    if use_weights or not pallas_ls_supported(S, p, dtype):
-        slow.append("dispersion line-search/grid"
-                    + (" (weighted CR stays on XLA)" if use_weights
-                       else ""))
+    if not pallas_ls_supported(S, p, dtype, use_weights=use_weights):
+        slow.append("dispersion line-search/grid")
     if not pallas_irls_supported(S, p, dtype, use_weights=use_weights):
         slow.append("IRLS")
     if slow:
@@ -1375,7 +1378,7 @@ def run_fused_sharded(counts, x, size_factors, mesh, maxit=100,
     counts_d = jax.device_put(counts_p, gshard)
     weights_d = None
     if weights is not None:
-        w_p, _ = pad_to_multiple(np.asarray(weights, np.float64), n_dev, 1.0)
+        w_p, _ = pad_to_multiple(np.asarray(weights), n_dev, 1.0)
         weights_d = jax.device_put(w_p, gshard)
     nf_d = None
     if norm_factors is not None:
@@ -1455,8 +1458,7 @@ def fused_results(counts, x, size_factors=None, maxit=100, min_disp=1e-8,
     if contrast is not None:
         contrast = tuple(float(c) for c in np.asarray(contrast).ravel())
     if weights is not None:
-        weights = _validated_weights(np.asarray(weights, np.float64),
-                                     x_np)
+        weights = _validated_weights(weights, x_np)
     if norm_factors is not None and np.shape(norm_factors) != \
             np.shape(counts):
         raise ValueError("norm_factors must match the counts shape "
@@ -1523,35 +1525,62 @@ def fused_results(counts, x, size_factors=None, maxit=100, min_disp=1e-8,
     return res
 
 
-def _validated_weights(weights, x_np, weight_threshold=1e-2):
-    """Normalize observation weights and require every row to keep the
-    design estimable (vectorized equivalent of getAndCheckWeights'
-    per-row rank tests, R/core.R:2697-2752).
+@partial(jax.jit, static_argnames=())
+def _weights_ok_dev(w_d, x_d, weight_threshold=1e-2):
+    """Per-gene estimability tests of getAndCheckWeights on device
+    (R/core.R:2697-2752): rank via the smallest eigenvalue of the PSD
+    grams (matrix_rank's SVD tolerance rule — sv > max_sv*p*eps —
+    applied to eigenvalues; the host version paid ~4 s of per-matrix
+    SVDs at 60k genes and forced a second (G,S) host round trip)."""
+    dtype = w_d.dtype
+    m = x_d.shape[1]
+    mx = jnp.max(w_d, axis=1, keepdims=True)
+    w = w_d / mx
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
-    The host path demotes failing rows to allZero with a warning; the
-    fused fast path refuses them instead — route those datasets through
-    the host deseq() (optionally gene-sharded via ops.placement
-    .use_gene_mesh), which carries the weightsFail bookkeeping."""
+    def full_rank(gram):
+        ev = jnp.linalg.eigvalsh(gram)
+        return ev[:, 0] > ev[:, -1] * m * eps
+
+    xx = (x_d[:, :, None] * x_d[:, None, :]).reshape(x_d.shape[0],
+                                                     m * m)
+    gram1 = ((w * w) @ xx).reshape(-1, m, m)
+    sub = (w > weight_threshold).astype(dtype)
+    keep = (sub @ jnp.abs(x_d)) > 0.0
+    cm = keep.astype(dtype)
+    gram2 = (sub @ xx).reshape(-1, m, m)
+    gram2 = gram2 * (cm[:, :, None] * cm[:, None, :]) \
+        + (1.0 - cm)[:, :, None] * jnp.eye(m, dtype=dtype)[None]
+    neg = jnp.any(w_d < 0, axis=1)
+    nopos = mx[:, 0] <= 0
+    return full_rank(gram1) & full_rank(gram2) & ~neg & ~nopos, \
+        neg.any(), nopos.any()
+
+
+def _validated_weights(weights, x_np, weight_threshold=1e-2):
+    """Validate observation weights on device and return them as a
+    DEVICE array in the pipeline dtype (uploaded once — a (G,S) f64
+    host round trip costs seconds on a network-attached chip).
+
+    getAndCheckWeights' per-row rank tests (R/core.R:2697-2752); the
+    host path demotes failing rows to allZero with a warning, the
+    fused fast path refuses them instead — route those datasets
+    through the host deseq() which carries the weightsFail
+    bookkeeping."""
     import numpy as np
-    if np.any(weights < 0):
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if isinstance(weights, jax.Array) and weights.dtype == dtype:
+        w_d = weights          # already placed: no host round trip
+    else:
+        w_d = jnp.asarray(np.asarray(weights), dtype)
+    x_d = jnp.asarray(np.asarray(x_np), dtype)
+    ok, neg, nopos = jax.device_get(
+        _weights_ok_dev(w_d, x_d, weight_threshold))
+    if bool(neg):
         raise ValueError("weights must be non-negative")
-    mx = weights.max(axis=1, keepdims=True)
-    if np.any(mx <= 0):
+    if bool(nopos):
         raise ValueError("each gene needs at least one positive weight")
-    w = weights / mx   # normalized for the rank tests only
-    m = x_np.shape[1]
-    # test1: rank(diag(w_i) X) == p via the weighted Gram determinant
-    gram1 = np.einsum("gs,sp,sq->gpq", w * w, x_np, x_np)
-    ok1 = np.linalg.matrix_rank(gram1) == m
-    # test2: rows with w > threshold, zero columns dropped, full rank
-    sub = (w > weight_threshold).astype(np.float64)
-    keep = np.einsum("gs,sp->gp", sub, np.abs(x_np)) > 0  # (G,p)
-    gram2 = np.einsum("gs,sp,sq->gpq", sub, x_np, x_np)
-    cm = keep.astype(np.float64)
-    gram2 = gram2 * (cm[:, :, None] * cm[:, None, :])
-    gram2 = gram2 + np.einsum("gp,pq->gpq", 1.0 - cm, np.eye(m))
-    ok2 = np.linalg.matrix_rank(gram2) == m
-    bad = ~(ok1 & ok2)
+    bad = ~np.asarray(ok)
     if bad.any():
         raise ValueError(
             f"{int(bad.sum())} row(s) have weights that do not allow "
@@ -1559,6 +1588,7 @@ def _validated_weights(weights, x_np, weight_threshold=1e-2):
             "fused fast path refuses them — use the host deseq() which "
             "flags such rows weightsFail/allZero "
             f"(first rows: {np.where(bad)[0][:5].tolist()})")
-    # return the RAW weights: the pipeline's base stats use them as-is
-    # (getBaseMeansAndVariances) and normalize internally for the fits
-    return weights
+    # return the RAW weights (device-resident): the pipeline's base
+    # stats use them as-is (getBaseMeansAndVariances) and normalize
+    # internally for the fits
+    return w_d

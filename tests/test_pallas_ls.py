@@ -97,4 +97,49 @@ def test_ls_supported_predicate():
     assert pallas_ls_supported(1024, 2, jnp.float32)
     assert not pallas_ls_supported(128, 2, jnp.float64)
     assert not pallas_ls_supported(128, 9, jnp.float32)
-    assert not pallas_ls_supported(128, 2, jnp.float32, use_weights=True)
+    # weights stream through the kernel (masked weighted CR in-kernel)
+    assert pallas_ls_supported(128, 2, jnp.float32, use_weights=True)
+
+
+def test_ls_kernel_weighted_matches_xla():
+    """Observation weights through the kernel: weighted likelihood
+    terms, the Cox-Reid row subset (weight > threshold) and per-gene
+    column drops with identity embedding (cpp:38-44, make_cr_masks) —
+    the f64 trajectory must match the weighted XLA core."""
+    y, x, mu, la0 = _sim(seed=4)
+    G = y.shape[0]
+    rng = np.random.default_rng(9)
+    w = np.clip(rng.random(y.shape) + 0.2, 0.0, 1.0)
+    # force CR column drops for some genes: zero out every treated
+    # sample's weight (below threshold) so the treatment column loses
+    # its selected support
+    treated = np.asarray(x[:, 1]) > 0
+    w[:10][:, treated] = 1e-3
+    w = w / w.max(axis=1, keepdims=True)
+    w[:10][:, treated] = 1e-3          # keep below threshold after norm
+    w_d = jnp.asarray(w)
+    pm = jnp.log(jnp.full(G, 0.5))
+    ref = _fit_disp_line_search_core(y, x, mu, la0, pm, 1.3, MIN_LA,
+                                     maxit=100, use_prior=True,
+                                     weights=w_d, use_weights=True)
+    got = fit_disp_line_search_pallas(y, x, mu, la0, pm, 1.3, MIN_LA,
+                                      maxit=100, use_prior=True,
+                                      interpret=True, weights=w_d)
+    la_r = np.asarray(ref["log_alpha"])
+    la_g = np.asarray(got["log_alpha"])
+    same = np.isclose(la_r, la_g, rtol=1e-8, atol=1e-9)
+    assert same.mean() > 0.99, f"{(~same).sum()} genes diverged"
+    # rounding-tie divergers must land at least as good a posterior
+    if (~same).any():
+        from deseq2_tpu.ops.disp import make_cr_masks
+        rm, cm = make_cr_masks(x, w_d, 1e-2, True)
+        idx = np.where(~same)[0]
+        lp_r = np.asarray(log_posterior(
+            jnp.asarray(la_r[idx]), y[idx], mu[idx], x, pm[idx], 1.3,
+            True, weights=w_d[idx], use_weights=True,
+            row_mask=rm[idx], col_mask=cm[idx]))
+        lp_g = np.asarray(log_posterior(
+            jnp.asarray(la_g[idx]), y[idx], mu[idx], x, pm[idx], 1.3,
+            True, weights=w_d[idx], use_weights=True,
+            row_mask=rm[idx], col_mask=cm[idx]))
+        assert np.all(lp_g >= lp_r - 1e-6)
