@@ -914,7 +914,18 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
             return (s[0] <= maxit) & (jnp.max(s[7]) > 0.5)
 
         from ..ops.padding import compact_live_indices
-        cap = min(1 << (max(g_loc // 8, 512) - 1).bit_length(), g_loc)
+        # cascading straggler caps (the IRLS convergence profile is as
+        # long-tailed as the line search's): each compaction phase
+        # gathers the live set into a dense block when the row budget
+        # allows (one gather beats per-chunk gathers ~8x/element)
+        caps = []
+        prev = g_loc
+        for frac in (4, 16, 64):
+            c = min(1 << (max(g_loc // frac, 512) - 1).bit_length(),
+                    g_loc)
+            if c * 2 <= prev:
+                caps.append(c)
+                prev = c
 
         # ---- sweep 0 outside the loop, fused with the deviance
         # constant (no convergence test at k=0 anyway) ----
@@ -940,32 +951,45 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
 
         data_full = (size, y_alpha, dev_const)
         _, body_full = make_irls(data_full, None)
-        if cap * 2 >= g_loc:
-            state = jax.lax.while_loop(irls_cond, body_full, state)
+
+        def run_phase(s_, body_, stop_at):
+            if stop_at is None:
+                return jax.lax.while_loop(irls_cond, body_, s_)
+            return jax.lax.while_loop(
+                lambda s: (s[0] <= maxit) & (jnp.sum(s[7]) > stop_at),
+                body_, s_)
+
+        if not caps:
+            state = run_phase(state, body_full, None)
         else:
-            state = jax.lax.while_loop(
-                lambda s: (s[0] <= maxit) & (jnp.sum(s[7]) > cap),
-                body_full, state)
-            live = state[7] > 0.5
-            idx = compact_live_indices(live, cap)
-            sub = (state[0],) + tuple(v[idx] for v in state[1:])
-            if cap * env["counts_p"].shape[1] * 4 <= 1_600_000_000:
-                # dense straggler block: one row gather, then regular
-                # streaming (per-chunk row gathers cost ~8x/element)
-                cnt_sub = jnp.take(counts_p, idx, axis=0)
-                env_sub = dict(env, counts_p=cnt_sub)
-                if env.get("nf_p") is not None:
-                    env_sub["nf_p"] = jnp.take(env["nf_p"], idx, axis=0)
-                _, body_sub = make_irls(
-                    tuple(v[idx] for v in data_full), None,
-                    cnt=cnt_sub, env_l=env_sub)
-            else:
-                _, body_sub = make_irls(
-                    tuple(v[idx] for v in data_full), idx)
-            sub = jax.lax.while_loop(irls_cond, body_sub, sub)
-            state = (sub[0],) + tuple(
-                full.at[idx].set(part)
-                for full, part in zip(state[1:], sub[1:]))
+            outer = []
+            state = run_phase(state, body_full, caps[0])
+            abs_idx = None
+            Sp_bytes = env["counts_p"].shape[1] * 4
+            for ci, cap in enumerate(caps):
+                live = state[7] > 0.5
+                loc = compact_live_indices(live, cap)
+                abs_new = loc if abs_idx is None else abs_idx[loc]
+                outer.append((state, loc))
+                state = (state[0],) + tuple(v[loc] for v in state[1:])
+                abs_idx = abs_new
+                data_sub = tuple(v[abs_idx] for v in data_full)
+                if cap * Sp_bytes <= 1_600_000_000:
+                    cnt_sub = jnp.take(counts_p, abs_idx, axis=0)
+                    env_sub = dict(env, counts_p=cnt_sub)
+                    if env.get("nf_p") is not None:
+                        env_sub["nf_p"] = jnp.take(env["nf_p"],
+                                                   abs_idx, axis=0)
+                    _, body_sub = make_irls(data_sub, None, cnt=cnt_sub,
+                                            env_l=env_sub)
+                else:
+                    _, body_sub = make_irls(data_sub, abs_idx)
+                nxt = caps[ci + 1] if ci + 1 < len(caps) else None
+                state = run_phase(state, body_sub, nxt)
+            for ostate, loc in reversed(outer):
+                state = (state[0],) + tuple(
+                    full.at[loc].set(part)
+                    for full, part in zip(ostate[1:], state[1:]))
         _, _, beta, _, beta_iter, deviance, A, _ = state
 
         # post-fit sigma sandwich diagonal (cpp:429-455) from the A of
