@@ -340,32 +340,116 @@ def sc_accuracy_gate(g=2048, s=4096):
                 sc_gate_confident_flips=flips)
     assert d_lfc < 0.02, f"SC f32 log2FC drifted from f64: {gate}"
     assert excess < 1.0, f"SC f32 p-values catastrophically off: {gate}"
-    assert flips <= max(1, g // 1000), \
+    # r4 measured 0 confident flips; assert the measured level
+    # (VERDICT r4 item 8)
+    assert flips == 0, \
         f"SC confident decisions flipped between f32 and f64: {gate}"
-    # Rejection-set agreement bound (VERDICT r3 weak #2).  Bulk asserts
-    # >= 0.995; the SC QL F statistic additionally carries the
-    # reference's alpha-mismatch quirk (see comment above) which turns
-    # ~1-2% f32 dispersion-landing noise into ~0.3 log10(p) jitter, so
-    # genes within that band of the alpha=0.1 cutoff churn between the
-    # two precisions.  Measured agreement is ~0.95 on this fixture
-    # (BENCH_EXTRA_r03); 0.90 bounds real regressions (a broken kernel
-    # drops it to ~0.5) while tolerating the borderline churn the
-    # confident-flip gate already polices.
-    assert jacc >= 0.90, f"SC rejection sets diverged f32 vs f64: {gate}"
+    # Rejection-set agreement bound (VERDICT r3 weak #2, tightened r5 to
+    # the measured level).  Bulk asserts >= 0.995; the SC QL F statistic
+    # additionally carries the reference's alpha-mismatch quirk (see
+    # comment above) which turns ~1-2% f32 dispersion-landing noise into
+    # ~0.3 log10(p) jitter, so genes within that band of the alpha=0.1
+    # cutoff churn between the two precisions.  Measured agreement is
+    # 0.9499 on this fixture (BENCH_EXTRA_r04); 0.94 is the assert with
+    # the fixture's own churn band excluded (a broken kernel drops it
+    # to ~0.5).
+    assert jacc >= 0.94, f"SC rejection sets diverged f32 vs f64: {gate}"
+    return gate
+
+
+_SC_COV_GATE_WORKER = r"""
+import json, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+from bench import _sc_cov_gate_inputs
+counts, design, reduced, sf = _sc_cov_gate_inputs({g}, {s})
+from deseq2_tpu.parallel.sc import fused_sc_results
+out = fused_sc_results(counts, size_factors=sf, design=design,
+                       reduced_design=reduced, test="LRT",
+                       fit_type="glmGamPoi")
+np.savez({out!r}, lfc=out["log2FoldChange"], p=out["pvalue"],
+         padj=out["padj"])
+"""
+
+
+def _sc_cov_gate_inputs(g, s, seed=1):
+    """Covariate-design SC fixture (~ batch + condition): the round-4
+    streamed small-p covariate path, gated like the group mode
+    (VERDICT r4 item 8)."""
+    rng = np.random.default_rng(seed)
+    cond = (np.arange(s) % 2).astype(np.float64)
+    batch = ((np.arange(s) // 2) % 2).astype(np.float64)
+    design = np.column_stack([np.ones(s), batch, cond])
+    reduced = design[:, :2]
+    mu0 = np.maximum(2.0 ** rng.normal(-1.0, 2.0, g), 0.01)
+    disp = np.minimum(4.0 / mu0 + 0.3, 20.0)
+    lfc = np.where(rng.random(g) < 0.5, rng.normal(0.0, 1.0, g), 0.0)
+    blfc = rng.normal(0.0, 0.3, g)
+    mu = mu0[:, None] * 2.0 ** (lfc[:, None] * cond[None, :]
+                                + blfc[:, None] * batch[None, :])
+    size = 1.0 / disp[:, None]
+    counts = rng.negative_binomial(size, size / (size + mu)).astype(
+        np.int32)
+    return counts, design, reduced, np.ones(s)
+
+
+def sc_covariate_accuracy_gate(g=2048, s=4096):
+    """f32 chip streamed covariate QL vs f64 CPU on a small slice —
+    the same decision-based gate as the group mode."""
+    from deseq2_tpu.parallel.sc import fused_sc_results
+
+    counts, design, reduced, sf = _sc_cov_gate_inputs(g, s)
+    out32 = fused_sc_results(counts, size_factors=sf, design=design,
+                             reduced_design=reduced, test="LRT",
+                             fit_type="glmGamPoi")
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "f64.npz")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        code = _SC_COV_GATE_WORKER.format(repo=repo, g=g, s=s, out=path)
+        env = {k: v for k, v in os.environ.items()
+               if k != "PALLAS_AXON_POOL_IPS"}
+        env.update(JAX_PLATFORMS="cpu", DESEQ2_TPU_X64="1",
+                   DESEQ2_TPU_SC_HIST="force")
+        subprocess.run([sys.executable, "-c", code], env=env, check=True,
+                       cwd=repo)
+        f64 = np.load(path)
+    lfc32 = np.asarray(out32["log2FoldChange"], np.float64)
+    both = np.isfinite(lfc32) & np.isfinite(f64["lfc"])
+    d_lfc = float(np.max(np.abs(lfc32[both] - f64["lfc"][both])))
+    padj32 = np.asarray(out32["padj"], np.float64)
+    rej32 = np.isfinite(padj32) & (padj32 < 0.1)
+    rej64 = np.isfinite(f64["padj"]) & (f64["padj"] < 0.1)
+    union = (rej32 | rej64).sum()
+    jacc = float((rej32 & rej64).sum() / union) if union else 1.0
+    p64a = np.where(np.isfinite(f64["padj"]), f64["padj"], 1.0)
+    p32a = np.where(np.isfinite(padj32), padj32, 1.0)
+    flips = int((((p32a < 0.01) & (p64a > 0.5))
+                 | ((p64a < 0.01) & (p32a > 0.5))).sum())
+    gate = dict(sc_cov_gate_genes=g, sc_cov_gate_cells=s,
+                sc_cov_gate_max_dlfc=round(d_lfc, 6),
+                sc_cov_gate_rejection_jaccard=round(jacc, 5),
+                sc_cov_gate_confident_flips=flips)
+    assert d_lfc < 0.02, f"SC covariate f32 LFC drifted: {gate}"
+    assert flips == 0, f"SC covariate confident flips: {gate}"
+    assert jacc >= 0.94, f"SC covariate rejection sets diverged: {gate}"
     return gate
 
 
 def main_sc():
     """Single-cell config (BASELINE #5): BENCH_SC=1, 30k genes x 50k
-    cells by default.  Streams the sample axis (parallel/sc.py)."""
+    cells by default.  Streams the sample axis (parallel/sc.py).
+    BENCH_SC_MODE=covariate benches the ~batch+condition small-p design
+    stream (VERDICT r4 item 3) instead of the group factorization."""
     import jax
     import jax.numpy as jnp
 
     from deseq2_tpu.parallel.sc import fused_sc_results
 
+    cov_mode = os.environ.get("BENCH_SC_MODE") == "covariate"
     gate = None
     if os.environ.get("BENCH_SKIP_GATE") != "1":
-        gate = sc_accuracy_gate()
+        gate = (sc_covariate_accuracy_gate() if cov_mode
+                else sc_accuracy_gate())
 
     Gs = int(os.environ.get("BENCH_GENES", 30000))
     Ss = int(os.environ.get("BENCH_SAMPLES", 50000))
@@ -416,16 +500,30 @@ def main_sc():
     # default: the full single-cell DESeq story (glmGamPoi-contract
     # loc-median trend, QL dispersion shrinkage, quasi-likelihood
     # F-test, independent-filtering tail).  BENCH_SC_WALD=1 measures
-    # the parametric Wald configuration instead (round-2 comparable).
+    # the parametric Wald configuration instead (round-2 comparable);
+    # BENCH_SC_MODE=covariate streams the ~batch+condition design.
     wald_cfg = os.environ.get("BENCH_SC_WALD") == "1"
     sc_kw = (dict(test="Wald", fit_type="parametric")
              if wald_cfg else dict(test="LRT", fit_type="glmGamPoi"))
 
-    def run_sync():
-        out = fused_sc_results(counts_d, jnp.asarray(cells),
-                               jnp.asarray(sf, jnp.float32),
-                               n_groups=2, chunk=chunk, **sc_kw)
-        return out["stat"], out["padj"]
+    if cov_mode:
+        batch = ((np.arange(Ss) // 2) % 2).astype(np.float64)
+        design = np.column_stack([np.ones(Ss), batch,
+                                  cells.astype(np.float64)])
+        reduced = design[:, :2]
+
+        def run_sync():
+            out = fused_sc_results(
+                counts_d, size_factors=jnp.asarray(sf, jnp.float32),
+                design=design, reduced_design=reduced, chunk=chunk,
+                test="LRT", fit_type="glmGamPoi")
+            return out["stat"], out["padj"]
+    else:
+        def run_sync():
+            out = fused_sc_results(counts_d, jnp.asarray(cells),
+                                   jnp.asarray(sf, jnp.float32),
+                                   n_groups=2, chunk=chunk, **sc_kw)
+            return out["stat"], out["padj"]
 
     run_sync()
     t0 = time.perf_counter()
@@ -433,7 +531,8 @@ def main_sc():
     dt = time.perf_counter() - t0
     assert np.isfinite(stat).mean() > 0.9
     assert np.isfinite(padj).any()
-    name = "wald" if wald_cfg else "ql"
+    name = ("covariate_ql" if cov_mode
+            else ("wald" if wald_cfg else "ql"))
     line = {
         "metric": f"deseq_sc_{name}_genes_per_sec_{Gs}x{Ss}",
         "value": round(Gs / dt, 1), "unit": "genes/s/chip",

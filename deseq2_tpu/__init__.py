@@ -29,6 +29,29 @@ if _os.environ.get("DESEQ2_TPU_X64", "1") != "0":
 # full precision costs nothing.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent XLA compilation cache: the fused 60k x 1k pipeline costs
+# ~85 s to compile uncached (measured, BENCH_EXTRA_r04) — pay it once
+# per machine, not once per process.  The reference has no analogous
+# cost (interpreted R + a prebuilt .so).  Opt out / relocate with
+# DESEQ2_TPU_COMPILE_CACHE=0 / =<dir>.  CPU-only runs (JAX_PLATFORMS=
+# cpu — the test configuration) skip it: XLA:CPU AOT executables embed
+# the compile machine's ISA features, so a shared/moved cache dir risks
+# SIGILL on load, and CPU compiles are small anyway.
+_cc = _os.environ.get("DESEQ2_TPU_COMPILE_CACHE", "")
+if _cc != "0" and _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    if not _cc:
+        _cc = _os.path.join(_os.path.expanduser("~"), ".cache",
+                            "deseq2_tpu", "xla")
+    try:
+        _os.makedirs(_cc, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cc)
+        # cache everything that took a noticeable compile (the pipeline
+        # is a handful of large programs, not thousands of tiny ones)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # unwritable home: run without a persistent cache
+        pass
+
 from .config import DESeqConfig  # noqa: E402
 from .dataset import (DESeqDataSet, dataset_from_htseq_count,  # noqa: E402
                       dataset_from_matrix, dataset_from_tximport)

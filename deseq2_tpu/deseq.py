@@ -138,7 +138,8 @@ def deseq(dds, test="Wald", fit_type="parametric", sf_type="ratio",
     # alias the (potentially large) counts buffer; the host path below
     # re-copies with its own counts duplicate
     dds_orig = dds
-    dds = dds.copy(share_counts=True)
+    with profiling.stage("deseq.copy"):
+        dds = dds.copy(share_counts=True)
     dds.attrs["betaPrior"] = beta_prior
 
     # ---- engine routing: the fused on-device fast path ----

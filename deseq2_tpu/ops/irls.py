@@ -58,22 +58,39 @@ def fit_beta(y, x, nf, alpha, beta_init, ridge, weights=None, contrast=None,
     import numpy as np
     from .placement import (active_gene_mesh, place_gene_axis,
                             round_up_to_multiple)
-    G = np.asarray(y).shape[0]
+
+    def pad_any(a, gp, fill):
+        # device-resident inputs (e.g. counts kept on device for novel
+        # contrasts) are padded with jnp — no host round trip
+        if isinstance(a, jax.Array) and not isinstance(a, np.ndarray):
+            widths = [(0, gp - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, widths, constant_values=fill)
+        return pad_rows(np.asarray(a), gp, fill)
+
+    G = y.shape[0]
+    # a 1-D nf (shared per-sample size factors) broadcasts inside the
+    # core against (G,S) — never materialize the (G,S) copy
+    nf_1d = np.ndim(nf) == 1
     gp = bucket_size(G)
     mesh = active_gene_mesh()
     if mesh is not None:
         gp = round_up_to_multiple(gp, mesh.devices.size)
     if gp != G:
-        y = pad_rows(np.asarray(y), gp, 1)
-        nf = pad_rows(np.asarray(nf), gp, 1.0)
+        y = pad_any(y, gp, 1)
+        if not nf_1d:
+            nf = pad_any(nf, gp, 1.0)
         alpha = pad_rows(np.asarray(alpha), gp, 1.0)
         beta_init = pad_rows(np.asarray(beta_init), gp, 0.0)
         if weights is not None:
-            weights = pad_rows(np.asarray(weights), gp, 1.0)
-    y, nf, alpha, beta_init, weights = place_gene_axis(
-        jnp.asarray(y), jnp.asarray(nf), jnp.asarray(alpha),
+            weights = pad_any(weights, gp, 1.0)
+    y, alpha, beta_init, weights = place_gene_axis(
+        jnp.asarray(y), jnp.asarray(alpha),
         jnp.asarray(beta_init),
         None if weights is None else jnp.asarray(weights))
+    if not nf_1d:
+        (nf,) = place_gene_axis(jnp.asarray(nf))
+    else:
+        nf = jnp.asarray(nf)
     out = _fit_beta_core(y, jnp.asarray(x), nf,
                          alpha, beta_init,
                          jnp.asarray(ridge),
@@ -122,7 +139,12 @@ def _fit_beta_core(y, x, nf, alpha, beta_init, ridge, weights=None, contrast=Non
     def make_fns(data):
         """IRLS step closures over the per-gene `data` dict — reusable on
         a compacted (gathered) straggler subset."""
-        d_y, d_nf, d_lognf = data["y"], data["nf"], data["log_nf"]
+        # a 1-D nf is shared across genes: broadcast from the enclosing
+        # scope (also correct for gathered straggler subsets) instead of
+        # being gathered along the gene axis
+        d_y = data["y"]
+        d_nf = data.get("nf", nf)
+        d_lognf = data.get("log_nf", log_nf)
         d_alpha, d_size, d_devc = data["alpha"], data["size"], data["dev_const"]
         d_wts = data.get("wts")
 
@@ -188,8 +210,10 @@ def _fit_beta_core(y, x, nf, alpha, beta_init, ridge, weights=None, contrast=Non
 
         return compute_mu, compute_w, body
 
-    data = dict(y=y, nf=nf, log_nf=log_nf, alpha=alpha, size=size,
-                dev_const=dev_const)
+    data = dict(y=y, alpha=alpha, size=size, dev_const=dev_const)
+    if nf.ndim == 2:
+        data["nf"] = nf
+        data["log_nf"] = log_nf
     if wts is not None:
         data["wts"] = wts
     compute_mu, compute_w, body = make_fns(data)

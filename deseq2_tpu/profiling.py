@@ -87,6 +87,17 @@ def stage(name, genes=None):
         })
 
 
+def record(name, seconds, genes=None):
+    """Append a pre-timed record (for spans that don't nest cleanly)."""
+    if not _enabled:
+        return
+    _records.append({
+        "stage": name, "seconds": seconds, "genes": genes,
+        "genes_per_sec": (genes / seconds) if genes and seconds > 0 else None,
+        "depth": _depth, "t_start": time.perf_counter() - seconds,
+    })
+
+
 def report():
     """Human-readable per-stage timing table (most recent run order)."""
     if not _records:

@@ -33,7 +33,7 @@ LN2 = np.log(2.0)
 
 def lfc_shrink(dds, coef=None, contrast=None, res=None, type="apeglm",
                lfc_threshold=0.0, svalue=False, return_fit=False,
-               quiet=True):
+               quiet=True, prior_df=1.0):
     """(reference lfcShrink, R/lfcShrink.R:145-520)"""
     if type not in ("apeglm", "ashr", "normal"):
         raise ValueError("unknown shrinkage type")
@@ -82,7 +82,7 @@ def lfc_shrink(dds, coef=None, contrast=None, res=None, type="apeglm",
         if coef is None:
             raise ValueError("type='apeglm' requires 'coef'")
         return _shrink_apeglm(dds, coef_num, coef_alpha, res, lfc_threshold,
-                              svalue, return_fit, quiet)
+                              svalue, return_fit, quiet, prior_df=prior_df)
     return _shrink_ashr(dds, res, lfc_threshold, svalue, return_fit, quiet)
 
 
@@ -147,9 +147,19 @@ def _shrink_normal(dds, coef, contrast, res, coef_alpha, lfc_threshold,
 # ---------------------------------------------------------------------------
 
 def _apeglm_fit(y, x, nf_log, alpha, weights, coef_num, prior_scale,
-                no_shrink_scale=15.0, beta_init=None, n_iter=50):
-    """Batched posterior mode for a Cauchy prior on column `coef_num` and
-    wide normal priors on the rest, via damped Newton on device.
+                no_shrink_scale=15.0, beta_init=None, n_iter=50,
+                prior_df=1.0):
+    """Batched posterior mode for apeglm's adaptive Student-t prior on
+    column `coef_num` and wide normal priors on the rest, via damped
+    Newton on device.
+
+    The prior family follows the published apeglm parametrization (Zhu,
+    Ibrahim & Love 2018, Bioinformatics 35(12); apeglm defaults
+    prior.df=1 — the Cauchy special case — prior.no.shrink.scale=15):
+    log p(b) = -((df+1)/2) log(1 + b^2/(df S^2)) for the shrunk
+    coefficient, N(0, no_shrink_scale) for the rest.  `prior_df`
+    generalizes beyond the default exactly as apeglm's prior.control
+    does.
 
     All betas on the natural-log scale.  Returns (map, sd) from the
     observed information at the mode (Laplace approximation), matching
@@ -181,16 +191,18 @@ def _apeglm_fit(y, x, nf_log, alpha, weights, coef_num, prior_scale,
         S_, p_ = x.shape
         xx = (x[:, :, None] * x[:, None, :]).reshape(S_, p_ * p_)
         hess_ll = (winfo @ xx).reshape(G, p_, p_)
-        # prior: Cauchy on coef (log prior = -log(1 + b^2/S^2)),
-        # normal(0, no_shrink_scale) on others
+        # prior: Student-t(df, 0, prior_scale) on coef —
+        # d/db log p = -(df+1) b / (df S^2 + b^2) — and
+        # normal(0, no_shrink_scale) on the others
         b = beta
-        cauchy_grad = -2.0 * b / (prior_scale ** 2 + b ** 2)
-        cauchy_hess = (2.0 * (b ** 2 - prior_scale ** 2)
-                       / (prior_scale ** 2 + b ** 2) ** 2)
+        ds2 = prior_df * prior_scale ** 2
+        t_grad = -(prior_df + 1.0) * b / (ds2 + b ** 2)
+        t_hess = ((prior_df + 1.0) * (b ** 2 - ds2)
+                  / (ds2 + b ** 2) ** 2)
         norm_grad = -b / no_shrink_scale ** 2
         norm_hess = jnp.full_like(b, -1.0 / no_shrink_scale ** 2)
-        pg = jnp.where(is_coef[None, :], cauchy_grad, norm_grad)
-        ph = jnp.where(is_coef[None, :], cauchy_hess, norm_hess)
+        pg = jnp.where(is_coef[None, :], t_grad, norm_grad)
+        ph = jnp.where(is_coef[None, :], t_hess, norm_hess)
         grad = grad_ll + pg
         hess = hess_ll - _batch_diag(ph)
         return grad, hess
@@ -200,7 +212,8 @@ def _apeglm_fit(y, x, nf_log, alpha, weights, coef_num, prior_scale,
         mu = jnp.exp(eta)
         ll = jnp.sum(w_obs * nb_logpmf(y, mu, alpha[:, None]), axis=-1)
         b = beta
-        lp_c = -jnp.log1p(b ** 2 / prior_scale ** 2)
+        lp_c = -0.5 * (prior_df + 1.0) * jnp.log1p(
+            b ** 2 / (prior_df * prior_scale ** 2))
         lp_n = -0.5 * b ** 2 / no_shrink_scale ** 2
         lp = jnp.where(is_coef[None, :], lp_c, lp_n).sum(axis=-1)
         return ll + lp
@@ -265,7 +278,7 @@ def apeglm_svalue(lfsr):
 
 
 def _shrink_apeglm(dds, coef_num, coef_alpha, res, lfc_threshold, svalue,
-                   return_fit, quiet):
+                   return_fit, quiet, prior_df=1.0):
     nz = ~dds.row_data["allZero"]
     obj = dds
     y = obj.counts
@@ -309,7 +322,8 @@ def _shrink_apeglm(dds, coef_num, coef_alpha, res, lfc_threshold, svalue,
             [np.nan_to_num(dds.row_data[c], nan=0.0) for c in coef_cols])
 
     bmap, bsd = _apeglm_fit(y, x, np.log(nf), disps, weights, coef_num,
-                            prior_scale, beta_init=beta_init)
+                            prior_scale, beta_init=beta_init,
+                            prior_df=prior_df)
     lfc = LOG2E * bmap[:, coef_num]
     se = LOG2E * bsd[:, coef_num]
     lfc[~nz] = np.nan
@@ -339,7 +353,7 @@ def _shrink_apeglm(dds, coef_num, coef_alpha, res, lfc_threshold, svalue,
     out.prior_info = dict(type="apeglm", package="deseq2_tpu",
                           prior_scale=prior_scale,
                           prior_control=dict(prior_scale=prior_scale,
-                                             prior_df=1,
+                                             prior_df=prior_df,
                                              prior_no_shrink_scale=15))
     if return_fit:
         return out, dict(map=bmap, sd=bsd, prior_scale=prior_scale)

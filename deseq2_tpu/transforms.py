@@ -7,6 +7,7 @@ Reference: varianceStabilizingTransformation/getVarianceStabilizedData/vst
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import numpy as np
@@ -54,13 +55,33 @@ def variance_stabilizing_transformation(dds, blind=True,
     return DESeqTransform(vsd, dds.col_data, dds.row_names, dds.col_names)
 
 
+def _use_device(dds):
+    """Route the (G,S) elementwise transform math through the
+    accelerator when one is attached and the matrix is big enough for
+    the transfer to win (R serves rlog through its C++ hot kernel,
+    R/rlog.R:249-253 — the TPU build serves the transforms through the
+    batched device path).  CPU/test runs keep the f64 host path."""
+    import jax
+    if os.environ.get("DESEQ2_TPU_TRANSFORM_DEVICE", "") == "0":
+        return False
+    return (jax.default_backend() != "cpu"
+            and dds.counts.size >= (1 << 22))
+
+
 def get_variance_stabilized_data(dds):
     """Closed-form / numeric-integral / asinh VST
-    (reference getVarianceStabilizedData, R/vst.R:146-193)."""
+    (reference getVarianceStabilizedData, R/vst.R:146-193).
+
+    On an accelerator backend the parametric/mean closed forms run on
+    device over the placement-cached counts (one fused elementwise
+    program); the local spline path stays host-side (1-D fit, never
+    hot)."""
     disp_fn = dds.dispersion_function
     if disp_fn is None or disp_fn.fit_type is None:
         raise ValueError("call estimate_dispersions before "
                          "get_variance_stabilized_data")
+    if disp_fn.fit_type in ("parametric", "mean") and _use_device(dds):
+        return _vst_closed_form_dev(dds, disp_fn)
     ncounts = dds.counts_normalized()
     if disp_fn.fit_type == "parametric":
         asympt_disp, extra_pois = disp_fn.coefficients
@@ -101,6 +122,43 @@ def get_variance_stabilized_data(dds):
         return (2.0 * np.arcsinh(np.sqrt(alpha * q)) - np.log(alpha)
                 - np.log(4.0)) / np.log(2.0)
     raise ValueError("fitType is not parametric, local or mean")
+
+
+def _vst_closed_form_dev(dds, disp_fn):
+    """Parametric/mean VST evaluated on device (counts via the engine
+    placement cache; sf or (G,S) normalization factors on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .engine import _device_counts
+
+    y = _device_counts(dds.counts)
+    if dds.normalization_factors is not None:
+        nf = jnp.asarray(np.asarray(dds.normalization_factors,
+                                    np.float32))
+    else:
+        nf = jnp.asarray(np.asarray(dds.size_factors, np.float32))
+
+    if disp_fn.fit_type == "parametric":
+        a, ep = (float(v) for v in disp_fn.coefficients)
+
+        @jax.jit
+        def go(y, nf):
+            q = y.astype(jnp.float32) / nf
+            aq = a * q
+            return (jnp.log((1.0 + ep + 2.0 * aq
+                             + 2.0 * jnp.sqrt(aq * (1.0 + ep + aq)))
+                            / (4.0 * a)) / np.log(2.0))
+    else:
+        al = float(disp_fn.mean)
+
+        @jax.jit
+        def go(y, nf):
+            q = y.astype(jnp.float32) / nf
+            return ((2.0 * jnp.arcsinh(jnp.sqrt(al * q)) - np.log(al)
+                     - np.log(4.0)) / np.log(2.0))
+
+    return np.asarray(jax.device_get(go(y, nf)), np.float64)
 
 
 def vst(dds, blind=True, nsub=1000, fit_type="parametric"):
@@ -261,6 +319,103 @@ def _rlog_arrow_irls(y, nf, alpha, lam0_nat, lam1_nat, has_intercept,
     return b0[:, None] + bs if has_intercept else bs, b0, iters
 
 
+def _rlog_arrow_irls_dev(y, nf, alpha, lam0_nat, lam1_nat, has_intercept,
+                         tol=1e-4, maxit=100, min_mu=0.5):
+    """Device (JAX) port of _rlog_arrow_irls: the same O(S)-per-gene
+    arrow-solve IRLS, batched over genes on the accelerator, f32.
+
+    `y` may be a device array (gathered from the engine placement
+    cache); `nf` is (S,) shared size factors or a (G,S) matrix.
+    Returns host numpy (xbeta (G,S), intercept (G,), iters)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("has_int", "maxit"))
+    def run(y, nf, alpha, lam0, lam1, has_int, maxit):
+        dtype = jnp.float32
+        y = y.astype(dtype)
+        nf = nf.astype(dtype)
+        alpha = alpha.astype(dtype)[:, None]
+        size = 1.0 / alpha
+        norm_c = y / nf
+        G = y.shape[0]
+
+        if has_int:
+            m = jnp.maximum(norm_c.mean(axis=1), 1e-30)
+            b0 = jnp.where(norm_c.sum(axis=1) > 0, jnp.log(m), 0.0)
+            bs = jnp.zeros_like(y)
+        else:
+            b0 = jnp.zeros(G, dtype)
+            bs = jnp.log(norm_c + 0.1)
+
+        # mu-independent deviance part, computed once
+        dev_const = -2.0 * jnp.sum(
+            jax.lax.lgamma(y + size) - jax.lax.lgamma(size)
+            - jax.lax.lgamma(y + 1.0), axis=1)
+
+        def mu_of(b0v, bsv):
+            return jnp.maximum(nf * jnp.exp(b0v[:, None] + bsv), min_mu)
+
+        def deviance(mu):
+            t = jnp.where(y > 0,
+                          y * (jnp.log(mu) - jnp.log(size + mu)), 0.0)
+            core = size * jnp.log(size / (size + mu)) + t
+            return dev_const + (-2.0) * jnp.sum(core, axis=1)
+
+        def body(state):
+            t_it, b0, bs, mu, dev_old, active, iters = state
+            iters = iters + active.astype(jnp.int32)
+            w = mu / (1.0 + alpha * mu)
+            z = jnp.log(mu / nf) + (y - mu) / mu
+            rs = w * z
+            if has_int:
+                d = w + lam1
+                swd = jnp.sum(w * w / d, axis=1)
+                schur = jnp.sum(w, axis=1) + lam0 - swd
+                b0_new = (jnp.sum(rs, axis=1)
+                          - jnp.sum(w * rs / d, axis=1)) / schur
+                bs_new = (rs - w * b0_new[:, None]) / d
+            else:
+                b0_new = b0
+                bs_new = rs / (w + lam1)
+            absmax = jnp.maximum(jnp.abs(b0_new),
+                                 jnp.max(jnp.abs(bs_new), axis=1))
+            diverged = absmax > 30.0
+            b0 = jnp.where(active, b0_new, b0)
+            bs = jnp.where(active[:, None], bs_new, bs)
+            cont = active & ~diverged
+            mu_new = mu_of(b0_new, bs_new)
+            mu = jnp.where(cont[:, None], mu_new, mu)
+            dev_new = deviance(mu_new)
+            conv_test = jnp.abs(dev_new - dev_old) / (jnp.abs(dev_new)
+                                                      + 0.1)
+            bad = jnp.isnan(conv_test)
+            converged = (t_it > 0) & (conv_test < tol)
+            active = cont & ~bad & ~converged
+            dev_old = jnp.where(cont, dev_new, dev_old)
+            return t_it + 1, b0, bs, mu, dev_old, active, iters
+
+        state = (jnp.zeros((), jnp.int32), b0, bs, mu_of(b0, bs),
+                 jnp.zeros(G, dtype), jnp.ones(G, bool),
+                 jnp.zeros(G, jnp.int32))
+        state = jax.lax.while_loop(
+            lambda s: (s[0] < maxit) & jnp.any(s[5]), body, state)
+        _, b0, bs, _, _, _, iters = state
+        xbeta = b0[:, None] + bs if has_int else bs
+        return xbeta, b0, iters
+
+    xbeta, b0, iters = run(jnp.asarray(y), jnp.asarray(nf),
+                           jnp.asarray(np.asarray(alpha, np.float32)),
+                           jnp.float32(lam0_nat), jnp.float32(lam1_nat),
+                           has_int=bool(has_intercept), maxit=maxit)
+    import jax as _jax
+    got = _jax.device_get(dict(xbeta=xbeta, b0=b0, iters=iters))
+    return (np.asarray(got["xbeta"], np.float64),
+            np.asarray(got["b0"], np.float64), np.asarray(got["iters"]))
+
+
 def rlog_data(dds, intercept=None, beta_prior_var=None):
     """Shrunken per-sample log2 fits (reference rlogData,
     R/rlog.R:172-272).
@@ -315,10 +470,25 @@ def rlog_data(dds, intercept=None, beta_prior_var=None):
     has_intercept = "Intercept" in model_matrix_names
     lam1_nat = (1.0 / beta_prior_var) / (np.log(2.0) ** 2)
     lam0_nat = 1e-6 / (np.log(2.0) ** 2)
-    nf = obj_nz.size_or_norm_factors()
-    xbeta_nat, b0_nat, _ = _rlog_arrow_irls(
-        obj_nz.counts, nf, obj_nz.row_data["dispFit"],
-        lam0_nat, lam1_nat, has_intercept, tol=1e-4)
+    if _use_device(dds):
+        # counts stay on device (placement cache + on-device nz gather);
+        # shared size factors ride as an (S,) row
+        import jax.numpy as jnp
+        from .engine import _device_counts
+        y_dev = _device_counts(dds.counts)[jnp.asarray(np.where(nz)[0])]
+        if dds.normalization_factors is not None:
+            nf_in = np.asarray(dds.normalization_factors,
+                               np.float32)[nz]
+        else:
+            nf_in = np.asarray(dds.size_factors, np.float32)
+        xbeta_nat, b0_nat, _ = _rlog_arrow_irls_dev(
+            y_dev, nf_in, obj_nz.row_data["dispFit"],
+            lam0_nat, lam1_nat, has_intercept, tol=1e-4)
+    else:
+        nf = obj_nz.size_or_norm_factors()
+        xbeta_nat, b0_nat, _ = _rlog_arrow_irls(
+            obj_nz.counts, nf, obj_nz.row_data["dispFit"],
+            lam0_nat, lam1_nat, has_intercept, tol=1e-4)
     normalized_data_nz = np.log2(np.e) * xbeta_nat
     normalized_data = np.zeros((dds.n_genes, S))
     normalized_data[nz] = normalized_data_nz

@@ -219,3 +219,49 @@ def test_engine_upload_cache_sees_mutations():
         np.asarray(h2.row_data["baseMean"], float), rtol=1e-9)
     assert not np.allclose(np.asarray(f1.row_data["baseMean"], float),
                            np.asarray(f2.row_data["baseMean"], float))
+
+
+def test_engine_results_fast_path_metadata_and_fallback():
+    """The default results() call on a fused-routed object is served
+    from the device-computed tail (engine stashes it as _fused_tail);
+    its filtering metadata and every column must match the host flow,
+    and any non-default argument must fall back to the host-exact
+    flow on the same object."""
+    dds = dt.make_example_dataset(n=400, m=12, beta_sd=1.0, seed=21)
+    h = dt.deseq(dds, engine="host")
+    f = dt.deseq(dds, engine="fused")
+    assert getattr(f, "_fused_tail", None) is not None
+    rh, rf = dt.results(h), dt.results(f)
+    _cmp_results(rh, rf)
+    assert rf.metadata["filterTheta"] == pytest.approx(
+        rh.metadata["filterTheta"])
+    assert rf.metadata["filterThreshold"] == pytest.approx(
+        rh.metadata["filterThreshold"])
+    np.testing.assert_allclose(rf.metadata["filterNumRej"]["numRej"],
+                               rh.metadata["filterNumRej"]["numRej"])
+    assert rf.descriptions["log2FoldChange"] == \
+        rh.descriptions["log2FoldChange"]
+    # non-default arguments bypass the tail and still agree
+    for kw in (dict(alpha=0.05), dict(independent_filtering=False),
+               dict(lfc_threshold=0.5), dict(cooks_cutoff=False),
+               dict(name="Intercept")):
+        _cmp_results(dt.results(h, **kw), dt.results(f, **kw))
+    # a host re-test on a copy drops the tail (no stale serving)
+    f2 = f.copy()
+    assert getattr(f2, "_fused_tail", None) is None
+
+
+def test_engine_lazy_row_data_batches_fetch():
+    """Diagnostic columns after a fused run materialize on first touch
+    and match eager values; dict protocol (items/pop/contains) works."""
+    dds = dt.make_example_dataset(n=200, m=10, beta_sd=1.0, seed=8)
+    f = dt.deseq(dds, engine="fused")
+    assert "dispGeneEst" in f.row_data          # no materialization
+    v = f.row_data["dispGeneEst"]               # first touch
+    assert isinstance(v, np.ndarray)
+    items = dict(f.row_data.items())
+    assert isinstance(items["deviance"], np.ndarray)
+    h = dt.deseq(dds, engine="host")
+    np.testing.assert_allclose(
+        np.asarray(f.row_data["deviance"], float),
+        np.asarray(h.row_data["deviance"], float), rtol=1e-9)
