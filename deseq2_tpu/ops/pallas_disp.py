@@ -195,7 +195,8 @@ _MAX_CHUNKS = 16  # unrolled S-chunks per evaluation: caps compile size
 def pallas_grid_supported(S, p, dtype, use_weights=False,
                           vmem_budget=12 * 1024 * 1024, block_g=256):
     """Whether the Pallas grid kernel applies to this problem shape."""
-    if use_weights or p > 8 or dtype == jnp.float64:
+    # p == 1: see pallas_ls_supported (Mosaic accumulator limitation)
+    if use_weights or p < 2 or p > 8 or dtype == jnp.float64:
         return False
     Sp = -(-S // _LANE) * _LANE
     if Sp // _LANE > _MAX_CHUNKS:

@@ -268,7 +268,10 @@ def pallas_irls_supported(S, p, dtype, use_weights=False,
     """Whether the Pallas IRLS kernel applies to this problem shape.
     Observation weights stream as one more (bg, Sp) VMEM block
     (src/DESeq2.cpp:337-341: weights multiply W and the deviance)."""
-    if p > 8 or dtype == jnp.float64:
+    # p == 1 (intercept-only designs, e.g. blind transforms) hits a
+    # Mosaic multi_reduction limitation ("only constant accumulators
+    # supported"); the XLA path handles that shape
+    if p < 2 or p > 8 or dtype == jnp.float64:
         return False
     Sp = -(-S // _LANE) * _LANE
     if Sp // _LANE > _MAX_CHUNKS:

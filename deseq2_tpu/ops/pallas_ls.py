@@ -323,7 +323,10 @@ def pallas_ls_supported(S, p, dtype, use_weights=False,
     Observation weights stream as one more (bg, Sp) VMEM block (the
     weighted Cox-Reid row subset + column drops run masked in-kernel,
     cpp:38-44)."""
-    if p > 8 or dtype == jnp.float64:
+    # p == 1 (intercept-only designs, e.g. blind transforms) hits a
+    # Mosaic multi_reduction limitation ("only constant accumulators
+    # supported"); the XLA path handles that shape
+    if p < 2 or p > 8 or dtype == jnp.float64:
         return False
     Sp = -(-S // _LANE) * _LANE
     if Sp // _LANE > _MAX_CHUNKS:

@@ -24,18 +24,68 @@ from .sizefactors import estimate_size_factors
 
 class DESeqTransform:
     """Transformed data container (reference DESeqTransform,
-    R/AllClasses.R:460-489)."""
+    R/AllClasses.R:460-489).
+
+    On an accelerator backend the (G,S) payload may be device-resident
+    (the transforms compute it there); `.matrix` materializes to host
+    numpy on first access.  Over a network-attached chip the download
+    is the dominant transform cost (~12 s for 60k x 1k at measured
+    tunnel bandwidth), so consumers that only need reductions (e.g.
+    plot_pca's top-variance genes) should slice/reduce `matrix_device`
+    before touching `.matrix`."""
 
     def __init__(self, matrix, col_data, row_names, col_names, attrs=None):
-        self.matrix = matrix
+        self._matrix = matrix
         self.col_data = col_data
         self.row_names = row_names
         self.col_names = col_names
         self.attrs = attrs or {}
 
     @property
+    def matrix(self):
+        m = self._matrix
+        if not isinstance(m, np.ndarray):
+            import jax
+            m = np.asarray(jax.device_get(m), np.float64)
+            self._matrix = m
+        return m
+
+    @matrix.setter
+    def matrix(self, value):
+        self._matrix = value
+
+    @property
+    def matrix_device(self):
+        """The payload as stored — a device array after a device-path
+        transform, else host numpy."""
+        return self._matrix
+
+    @property
     def shape(self):
-        return self.matrix.shape
+        return self._matrix.shape
+
+
+def _geneest_trend_fused(dds, fit_type):
+    """Gene-wise dispersion estimates + trend through the fused engine
+    (one on-device program) for the transforms' estimation step —
+    R serves the same step through its C++ hot kernels
+    (R/vst.R:253-254, R/rlog.R:141-142).  Returns the populated
+    dataset, or None when the configuration must take the host path
+    (CPU backend, ineligible design, non-closed-form trend)."""
+    if not _use_device(dds) or fit_type not in ("parametric", "local",
+                                                "mean"):
+        return None
+    from .engine import deseq_fused, fused_ineligibility
+    if fused_ineligibility(dds, "Wald", fit_type, "ratio", False, None,
+                           None, None, None) is not None:
+        return None
+    try:
+        routed = deseq_fused(dds.copy(share_counts=True), test="Wald",
+                             fit_type=fit_type, quiet=True,
+                             min_replicates_for_replace=np.inf)
+    except Exception:
+        return None
+    return routed
 
 
 def variance_stabilizing_transformation(dds, blind=True,
@@ -49,9 +99,14 @@ def variance_stabilizing_transformation(dds, blind=True,
         from .formula import parse_formula
         dds.design = parse_formula("~ 1")
     if blind or dds.dispersion_function is None:
-        dds = estimate_dispersions_gene_est(dds, quiet=True)
-        dds = estimate_dispersions_fit(dds, fit_type=fit_type, quiet=True)
-    vsd = get_variance_stabilized_data(dds)
+        routed = _geneest_trend_fused(dds, fit_type)
+        if routed is not None:
+            dds = routed
+        else:
+            dds = estimate_dispersions_gene_est(dds, quiet=True)
+            dds = estimate_dispersions_fit(dds, fit_type=fit_type,
+                                           quiet=True)
+    vsd = _get_vsd_raw(dds)
     return DESeqTransform(vsd, dds.col_data, dds.row_names, dds.col_names)
 
 
@@ -65,17 +120,27 @@ def _use_device(dds):
     if os.environ.get("DESEQ2_TPU_TRANSFORM_DEVICE", "") == "0":
         return False
     return (jax.default_backend() != "cpu"
-            and dds.counts.size >= (1 << 22))
+            and dds.counts.size >= (1 << 20))
 
 
 def get_variance_stabilized_data(dds):
     """Closed-form / numeric-integral / asinh VST
     (reference getVarianceStabilizedData, R/vst.R:146-193).
+    Always returns host numpy; the transform wrappers use
+    _get_vsd_raw to keep the payload device-resident."""
+    raw = _get_vsd_raw(dds)
+    if not isinstance(raw, np.ndarray):
+        import jax
+        raw = np.asarray(jax.device_get(raw), np.float64)
+    return raw
 
-    On an accelerator backend the parametric/mean closed forms run on
-    device over the placement-cached counts (one fused elementwise
-    program); the local spline path stays host-side (1-D fit, never
-    hot)."""
+
+def _get_vsd_raw(dds):
+    """VST payload; a DEVICE array on the accelerator closed-form
+    paths (the (G,S) download is the dominant cost over a
+    network-attached chip — defer it to DESeqTransform.matrix).
+
+    The local-trend spline path stays host-side (1-D fit, never hot)."""
     disp_fn = dds.dispersion_function
     if disp_fn is None or disp_fn.fit_type is None:
         raise ValueError("call estimate_dispersions before "
@@ -158,7 +223,37 @@ def _vst_closed_form_dev(dds, disp_fn):
             return ((2.0 * jnp.arcsinh(jnp.sqrt(al * q)) - np.log(al)
                      - np.log(4.0)) / np.log(2.0))
 
-    return np.asarray(jax.device_get(go(y, nf)), np.float64)
+    return go(y, nf)   # device array; callers fetch lazily
+
+
+def _base_stats_dev(dds):
+    """baseMean/baseVar/allZero on device (one fused reduction over the
+    placement-cached counts, three (G,) fetches) — the host
+    get_base_means_and_variances costs ~7 s of numpy sweeps at
+    60k x 1k."""
+    import jax
+    import jax.numpy as jnp
+
+    from .engine import _device_counts
+
+    y = _device_counts(dds.counts)
+    if dds.normalization_factors is not None:
+        nf = jnp.asarray(np.asarray(dds.normalization_factors,
+                                    np.float32))
+    else:
+        nf = jnp.asarray(np.asarray(dds.size_factors, np.float32))
+
+    @jax.jit
+    def go(y, nf):
+        q = y.astype(jnp.float32) / nf
+        bm = q.mean(axis=1)
+        bv = q.var(axis=1, ddof=1)
+        az = jnp.sum(y, axis=1) == 0
+        return bm, bv, az
+
+    bm, bv, az = jax.device_get(go(y, nf))
+    return (np.asarray(bm, np.float64), np.asarray(bv, np.float64),
+            np.asarray(az, bool))
 
 
 def vst(dds, blind=True, nsub=1000, fit_type="parametric"):
@@ -173,7 +268,10 @@ def vst(dds, blind=True, nsub=1000, fit_type="parametric"):
         dds.design = parse_formula("~ 1")
     if dds.size_factors is None and dds.normalization_factors is None:
         dds = estimate_size_factors(dds)
-    base_mean = dds.counts_normalized().mean(axis=1)
+    if _use_device(dds):
+        base_mean, _, _ = _base_stats_dev(dds)
+    else:
+        base_mean = dds.counts_normalized().mean(axis=1)
     if np.sum(base_mean > 5) < nsub:
         raise ValueError("less than 'nsub' rows with mean normalized "
                          "count > 5, use variance_stabilizing_transformation")
@@ -183,10 +281,24 @@ def vst(dds, blind=True, nsub=1000, fit_type="parametric"):
     # R: o[round(seq(from=1, to=length(o), length=nsub))]
     pick = np.round(np.linspace(1, len(o), nsub)).astype(int) - 1
     object_sub = dds.subset_genes(sub_idx[o[pick]])
-    object_sub = estimate_dispersions_gene_est(object_sub, quiet=True)
-    object_sub = estimate_dispersions_fit(object_sub, fit_type=fit_type,
-                                          quiet=True)
-    dds = get_base_means_and_variances(dds)
+    routed = _geneest_trend_fused(object_sub, fit_type)
+    if routed is not None:
+        object_sub = routed
+    else:
+        object_sub = estimate_dispersions_gene_est(object_sub, quiet=True)
+        object_sub = estimate_dispersions_fit(object_sub,
+                                              fit_type=fit_type,
+                                              quiet=True)
+    if _use_device(dds):
+        bm, bv, az = _base_stats_dev(dds)
+        dds.set_row_data("baseMean", bm, "intermediate",
+                         "mean of normalized counts for all samples")
+        dds.set_row_data("baseVar", bv, "intermediate",
+                         "variance of normalized counts for all samples")
+        dds.set_row_data("allZero", az, "intermediate",
+                         "all counts for a gene are zero")
+    else:
+        dds = get_base_means_and_variances(dds)
     from .dispersions import set_dispersion_function
     # the subset's trend is applied to the full object; varLogDispEsts is
     # not recomputed over the full set (matches the reference assignment)
@@ -197,7 +309,7 @@ def vst(dds, blind=True, nsub=1000, fit_type="parametric"):
         dds.row_data["baseMean"][nzmask])
     dds.set_row_data("dispFit", disp_fit, "intermediate",
                      "fitted values of dispersion")
-    vsd = get_variance_stabilized_data(dds)
+    vsd = _get_vsd_raw(dds)
     return DESeqTransform(vsd, dds.col_data, dds.row_names, dds.col_names)
 
 
@@ -225,12 +337,33 @@ def rlog(dds, blind=True, intercept=None, beta_prior_var=None,
         from .formula import parse_formula
         dds.design = parse_formula("~ 1")
     if intercept is None:
-        _sparse_test(dds.counts_normalized(), 0.9, 100, 0.1)
+        if _use_device(dds):
+            import jax
+            import jax.numpy as jnp
+            from .engine import _device_counts
+            yd = _device_counts(dds.counts)
+            if dds.normalization_factors is not None:
+                nfd = jnp.asarray(np.asarray(dds.normalization_factors,
+                                             np.float32))
+            else:
+                nfd = jnp.asarray(np.asarray(dds.size_factors,
+                                             np.float32))
+            rs, rmx = jax.jit(lambda y, nf: (
+                (y.astype(jnp.float32) / nf).sum(axis=1),
+                (y.astype(jnp.float32) / nf).max(axis=1)))(yd, nfd)
+            _sparse_test_stats(*jax.device_get((rs, rmx)), 0.9, 100, 0.1)
+        else:
+            _sparse_test(dds.counts_normalized(), 0.9, 100, 0.1)
     if blind or "dispFit" not in dds.row_data:
-        if "baseMean" not in dds.row_data:
-            dds = get_base_means_and_variances(dds)
-        dds = estimate_dispersions_gene_est(dds, quiet=True)
-        dds = estimate_dispersions_fit(dds, fit_type=fit_type, quiet=True)
+        routed = _geneest_trend_fused(dds, fit_type)
+        if routed is not None:
+            dds = routed
+        else:
+            if "baseMean" not in dds.row_data:
+                dds = get_base_means_and_variances(dds)
+            dds = estimate_dispersions_gene_est(dds, quiet=True)
+            dds = estimate_dispersions_fit(dds, fit_type=fit_type,
+                                           quiet=True)
     rld, bpv, fitted_intercept = rlog_data(dds, intercept, beta_prior_var)
     t = DESeqTransform(rld, dds.col_data, dds.row_names, dds.col_names,
                        attrs={"betaPriorVar": bpv})
@@ -410,10 +543,63 @@ def _rlog_arrow_irls_dev(y, nf, alpha, lam0_nat, lam1_nat, has_intercept,
                            jnp.asarray(np.asarray(alpha, np.float32)),
                            jnp.float32(lam0_nat), jnp.float32(lam1_nat),
                            has_int=bool(has_intercept), maxit=maxit)
-    import jax as _jax
-    got = _jax.device_get(dict(xbeta=xbeta, b0=b0, iters=iters))
-    return (np.asarray(got["xbeta"], np.float64),
-            np.asarray(got["b0"], np.float64), np.asarray(got["iters"]))
+    # device arrays: the (G,S) payload stays on device (the download
+    # dominates transform wall time over a network-attached chip);
+    # the (G,) intercept is fetched by the caller when needed
+    return xbeta, b0, iters
+
+
+def _rlog_prior_var_dev(dds, nz):
+    """The rlog prior variance (weighted upper-quantile match of the
+    observed LFC matrix, R/rlog.R:233-240) on device: the host version
+    sorts G*S ~ 6e7 values in numpy (~15-25 s at the headline shape);
+    here the sort + Hmisc-semantics cumulative-weight quantile run on
+    chip and one scalar returns.  Duplicate-value collapse (wtd.table)
+    is skipped: ties share a y-value, so the right-continuous step
+    lookup returns the same quantile either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from .engine import _device_counts
+    from scipy.stats import norm as _norm
+
+    nz_idx = np.where(nz)[0]
+    y = _device_counts(dds.counts)[jnp.asarray(nz_idx)]
+    if dds.normalization_factors is not None:
+        nf = jnp.asarray(np.asarray(dds.normalization_factors,
+                                    np.float32)[nz])
+    else:
+        nf = jnp.asarray(np.asarray(dds.size_factors, np.float32))
+    bm = jnp.asarray(np.asarray(dds.row_data["baseMean"],
+                                np.float32)[nz])
+    dfit = jnp.asarray(np.asarray(dds.row_data["dispFit"],
+                                  np.float32)[nz])
+
+    @jax.jit
+    def go(y, nf, bm, dfit):
+        q = y.astype(jnp.float32) / nf
+        lfc = (jnp.log2(q + 0.5) - jnp.log2(bm + 0.5)[:, None])
+        w = 1.0 / (1.0 / bm + dfit)
+        x = jnp.abs(lfc).ravel()
+        wts = jnp.broadcast_to(w[:, None], lfc.shape).ravel()
+        n_el = x.shape[0]
+        wts = wts * (n_el / jnp.sum(wts))          # normwt
+        xs, ws = jax.lax.sort((x, wts), num_keys=1)
+        cumw = jnp.cumsum(ws)
+        n = cumw[-1]
+        prob = 0.95
+        ordv = 1.0 + (n - 1.0) * prob
+        low = jnp.maximum(jnp.floor(ordv), 1.0)
+        high = jnp.minimum(low + 1.0, n)
+        frac = ordv % 1.0
+        il = jnp.clip(jnp.searchsorted(cumw, low, side="left"),
+                      0, n_el - 1)
+        ih = jnp.clip(jnp.searchsorted(cumw, high, side="left"),
+                      0, n_el - 1)
+        return (1.0 - frac) * xs[il] + frac * xs[ih]
+
+    q95 = float(np.asarray(jax.device_get(go(y, nf, bm, dfit))))
+    return float((q95 / _norm.ppf(1 - 0.05 / 2)) ** 2)
 
 
 def rlog_data(dds, intercept=None, beta_prior_var=None):
@@ -456,15 +642,18 @@ def rlog_data(dds, intercept=None, beta_prior_var=None):
         raise ValueError("NA dispFit")
 
     if beta_prior_var is None:
-        log_counts = np.log2(obj_nz.counts_normalized() + 0.5)
-        lfc_matrix = log_counts - np.log2(
-            obj_nz.row_data["baseMean"] + 0.5)[:, None]
-        varlogk = 1.0 / obj_nz.row_data["baseMean"] + \
-            obj_nz.row_data["dispFit"]
-        weights = 1.0 / varlogk
-        beta_prior_var = match_weighted_upper_quantile_for_variance(
-            lfc_matrix.ravel(order="F"),
-            np.tile(weights, obj_nz.n_samples))
+        if _use_device(dds):
+            beta_prior_var = _rlog_prior_var_dev(dds, nz)
+        else:
+            log_counts = np.log2(obj_nz.counts_normalized() + 0.5)
+            lfc_matrix = log_counts - np.log2(
+                obj_nz.row_data["baseMean"] + 0.5)[:, None]
+            varlogk = 1.0 / obj_nz.row_data["baseMean"] + \
+                obj_nz.row_data["dispFit"]
+            weights = 1.0 / varlogk
+            beta_prior_var = match_weighted_upper_quantile_for_variance(
+                lfc_matrix.ravel(order="F"),
+                np.tile(weights, obj_nz.n_samples))
     # log2-scale ridge -> natural scale, as fitNbinomGLMs does
     # (R/fitNbinomGLMs.R:157-162)
     has_intercept = "Intercept" in model_matrix_names
@@ -484,11 +673,26 @@ def rlog_data(dds, intercept=None, beta_prior_var=None):
         xbeta_nat, b0_nat, _ = _rlog_arrow_irls_dev(
             y_dev, nf_in, obj_nz.row_data["dispFit"],
             lam0_nat, lam1_nat, has_intercept, tol=1e-4)
-    else:
-        nf = obj_nz.size_or_norm_factors()
-        xbeta_nat, b0_nat, _ = _rlog_arrow_irls(
-            obj_nz.counts, nf, obj_nz.row_data["dispFit"],
-            lam0_nat, lam1_nat, has_intercept, tol=1e-4)
+        # scatter nz rows + intercept offsets on device; the (G,S)
+        # payload stays there (DESeqTransform.matrix fetches lazily)
+        import jax
+        nz_idx = jnp.asarray(np.where(nz)[0])
+        normalized_data = jnp.zeros((dds.n_genes, S), jnp.float32) \
+            .at[nz_idx].set(np.log2(np.e) * xbeta_nat)
+        fitted_intercept = None
+        if intercept is not None:
+            off = np.where(infinite_intercept, 0.0, intercept)
+            normalized_data = normalized_data + \
+                jnp.asarray(off, jnp.float32)[:, None]
+        elif has_intercept:
+            fitted_intercept = np.full(dds.n_genes, -np.inf)
+            fitted_intercept[nz] = np.log2(np.e) * np.asarray(
+                jax.device_get(b0_nat), np.float64)
+        return normalized_data, beta_prior_var, fitted_intercept
+    nf = obj_nz.size_or_norm_factors()
+    xbeta_nat, b0_nat, _ = _rlog_arrow_irls(
+        obj_nz.counts, nf, obj_nz.row_data["dispFit"],
+        lam0_nat, lam1_nat, has_intercept, tol=1e-4)
     normalized_data_nz = np.log2(np.e) * xbeta_nat
     normalized_data = np.zeros((dds.n_genes, S))
     normalized_data[nz] = normalized_data_nz
@@ -505,10 +709,15 @@ def rlog_data(dds, intercept=None, beta_prior_var=None):
 def _sparse_test(x, p, t1, t2):
     """Warn when single samples dominate row sums (reference sparseTest,
     R/rlog.R:274-287)."""
-    rs = x.sum(axis=1)
+    _sparse_test_stats(x.sum(axis=1), None, p, t1, t2, x=x)
+
+
+def _sparse_test_stats(rs, rmx, p, t1, t2, x=None):
+    rs = np.asarray(rs, np.float64)
     if np.all(rs <= t1):
         return
-    rmx = x.max(axis=1)
+    rmx = (np.asarray(rmx, np.float64) if rmx is not None
+           else x.max(axis=1))
     prop = (rmx / rs)[rs > t1]
     total = np.mean(prop > p)
     if total > t2:

@@ -65,33 +65,46 @@ def timeit(fn, *args, reps=5, **kw):
     return float(np.median(ts))
 
 
-# ---- 1. HBM floor: one masked (G,S) read ----
+# ---- 0. dispatch/fetch floor over the tunnel (amortized out below) ----
 @jax.jit
-def count_sweep(y):
-    return jnp.sum(jnp.where(y > 0, y, 0.0), axis=-1)
+def tiny(y):
+    return y[0, 0]
 
 
-t_sweep = timeit(count_sweep, y)
+t_floor = timeit(tiny, y)
+print(f"dispatch+fetch floor (tunnel RTT): {t_floor*1e3:.1f} ms",
+      flush=True)
+
+K = 16
+
+
+def scan_k(fn):
+    """K data-dependent repetitions inside ONE jit: marginal per-sweep
+    cost without the ~35 ms tunnel dispatch floor."""
+    @jax.jit
+    def run(y):
+        def body(acc, _):
+            acc = acc + fn(y + acc * 1e-30)
+            return acc, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return acc
+    return run
+
+
+# ---- 1. HBM floor: one masked (G,S) read ----
+t_sweep = (timeit(scan_k(lambda v: jnp.sum(jnp.where(v > 0, v, 0.0))), y)
+           - t_floor) / K
 gb = G * S * 4 / 1e9
-print(f"count sweep (1x (G,S) read): {t_sweep*1e3:.1f} ms "
+print(f"count sweep (1x (G,S) read): {t_sweep*1e3:.2f} ms "
       f"-> {gb/t_sweep:.0f} GB/s effective", flush=True)
 
-
 # ---- 2. transcendental sweeps ----
-@jax.jit
-def lgamma_sweep(y):
-    return jnp.sum(jax.lax.lgamma(y + 3.714), axis=-1)
-
-
-@jax.jit
-def digamma_sweep(y):
-    return jnp.sum(jax.lax.digamma(y + 3.714), axis=-1)
-
-
-t_lg = timeit(lgamma_sweep, y)
-t_dg = timeit(digamma_sweep, y)
-print(f"lgamma sweep: {t_lg*1e3:.1f} ms ({G*S/t_lg/1e9:.2f} Glgamma/s); "
-      f"digamma sweep: {t_dg*1e3:.1f} ms", flush=True)
+t_lg = (timeit(scan_k(lambda v: jnp.sum(jax.lax.lgamma(v + 3.714))), y)
+        - t_floor) / K
+t_dg = (timeit(scan_k(lambda v: jnp.sum(jax.lax.digamma(v + 3.714))), y)
+        - t_floor) / K
+print(f"lgamma sweep: {t_lg*1e3:.2f} ms ({G*S/t_lg/1e9:.2f} Glgamma/s); "
+      f"digamma sweep: {t_dg*1e3:.2f} ms", flush=True)
 
 # ---- 3. kernels standalone (realistic inputs) ----
 xd = jnp.asarray(x, jnp.float32)
@@ -103,36 +116,54 @@ mu_h = np.maximum(np.where(grp[None, :] > 0, gmeans1, gmeans0), 0.5)
 mu = jnp.asarray(mu_h, jnp.float32)
 la0 = jnp.asarray(np.full(G, np.log(0.1)), jnp.float32)
 pm = la0
-t_ls = timeit(fit_disp_line_search_pallas, y, xd, mu, la0, pm,
-              jnp.float32(1.0), jnp.float32(np.log(1e-8)),
-              maxit=100, use_prior=False, use_cr=True)
-iters = fit_disp_line_search_pallas(y, xd, mu, la0, pm, jnp.float32(1.0),
+# realistic dispersion init (moments-style) and true-ish alphas so the
+# micro runs match the pipeline's convergence behavior
+mu0 = counts.mean(1)
+alpha_true = np.maximum(4.0 / np.maximum(mu0, 0.05) + 0.1, 1e-4)
+la_init = jnp.asarray(np.log(alpha_true).astype(np.float32))
+
+def t_ls_at(maxit):
+    return timeit(fit_disp_line_search_pallas, y, xd, mu, la_init,
+                  la_init, jnp.float32(1.0), jnp.float32(np.log(1e-8)),
+                  maxit=maxit, use_prior=False, use_cr=True)
+
+t_ls = t_ls_at(100)
+iters = fit_disp_line_search_pallas(y, xd, mu, la_init, la_init,
+                                    jnp.float32(1.0),
                                     jnp.float32(np.log(1e-8)), maxit=100,
                                     use_prior=False, use_cr=True)["iter"]
 mean_iters = float(np.asarray(iters, np.float32).mean())
+ls_trip = (t_ls_at(10) - t_ls_at(2)) / 8.0
 print(f"LS kernel (gene-est): {t_ls*1e3:.1f} ms, mean iters "
-      f"{mean_iters:.1f}", flush=True)
+      f"{mean_iters:.1f}, per-trip {ls_trip*1e3:.1f} ms", flush=True)
 
-t_map = timeit(fit_disp_line_search_pallas, y, xd, mu, la0, pm,
+t_map = timeit(fit_disp_line_search_pallas, y, xd, mu, la_init, la_init,
                jnp.float32(0.25), jnp.float32(np.log(1e-8)),
                maxit=100, use_prior=True, use_cr=True)
 print(f"LS kernel (MAP, prior): {t_map*1e3:.1f} ms", flush=True)
 
 t_grid = timeit(fit_disp_grid_pallas, y, xd, mu,
-                jnp.asarray(grid, jnp.float32), la0, jnp.float32(1.0),
+                jnp.asarray(grid, jnp.float32), la_init, jnp.float32(1.0),
                 use_prior=False, use_cr=True)
-print(f"grid kernel: {t_grid*1e3:.1f} ms", flush=True)
+print(f"grid kernel (20+20 pts): {t_grid*1e3:.1f} ms", flush=True)
 
-alpha = jnp.asarray(np.full(G, 0.1), jnp.float32)
-beta0 = jnp.zeros((G, 2), jnp.float32)
+alpha = jnp.asarray(alpha_true.astype(np.float32))
+b0h = np.log(np.maximum(mu_h, 0.5))
+beta0 = jnp.asarray(np.column_stack(
+    [b0h[:, 0], b0h[:, -1] - b0h[:, 0]]).astype(np.float32))
 ridge = jnp.asarray(np.full(2, 1e-6 / np.log(2) ** 2), jnp.float32)
 nf1 = jnp.asarray(np.ones(S), jnp.float32)
-t_irls = timeit(fit_beta_pallas, y, xd, nf1, alpha, beta0, ridge,
-                maxit=100)
+
+def t_irls_at(maxit):
+    return timeit(fit_beta_pallas, y, xd, nf1, alpha, beta0, ridge,
+                  maxit=maxit)
+
+t_irls = t_irls_at(100)
 it_b = fit_beta_pallas(y, xd, nf1, alpha, beta0, ridge, maxit=100)["iter"]
 mean_it_b = float(np.asarray(it_b, np.float32).mean())
-print(f"IRLS kernel: {t_irls*1e3:.1f} ms, mean iters {mean_it_b:.1f}",
-      flush=True)
+irls_trip = (t_irls_at(10) - t_irls_at(2)) / 8.0
+print(f"IRLS kernel: {t_irls*1e3:.1f} ms, mean iters {mean_it_b:.1f}, "
+      f"per-trip {irls_trip*1e3:.1f} ms", flush=True)
 
 # ---- 4. full pipeline ----
 def run_pipe():
@@ -144,26 +175,31 @@ print(f"full fused pipeline: {t_pipe*1e3:.0f} ms "
       f"({G/t_pipe:,.0f} genes/s)", flush=True)
 
 # ---- bound statement ----
-# per LS trip: lp+dlp fused at one point = ~2 lgamma-class + 2
-# digamma-class (G,S) sweeps (pallas_ls evaluates lgamma_diff and
-# digamma_diff of (y + 1/alpha) vs (1/alpha) once per proposal)
-per_trip = 2 * t_lg + 2 * t_dg
-ls_bound = mean_iters * per_trip
+# per LS trip the kernel evaluates lp+dlp fused at one proposed point:
+# one lgamma-difference sweep (lgamma(y+1/a) - lgamma(1/a)), one
+# digamma-difference sweep, one log/log1p sweep and the p x p Cox-Reid
+# Cholesky per gene — call it ~2 lgamma-class + ~2 digamma-class (G,S)
+# transcendental passes.  The measured per-trip cost vs that
+# transcendental floor is the headroom statement.
+per_trip_bound = 2 * t_lg + 2 * t_dg
 line = {
     "shape": f"{G}x{S}",
+    "dispatch_floor_ms": round(t_floor * 1e3, 1),
     "hbm_read_floor_ms": round(t_sweep * 1e3, 2),
     "hbm_effective_gbps": round(gb / t_sweep, 1),
     "lgamma_sweep_ms": round(t_lg * 1e3, 2),
     "digamma_sweep_ms": round(t_dg * 1e3, 2),
     "ls_kernel_ms": round(t_ls * 1e3, 1),
     "ls_mean_iters": round(mean_iters, 1),
-    "ls_transcendental_bound_ms": round(ls_bound * 1e3, 1),
-    "ls_pct_of_bound": round(100 * ls_bound / t_ls, 1),
+    "ls_per_trip_ms": round(ls_trip * 1e3, 2),
+    "ls_trip_transcendental_floor_ms": round(per_trip_bound * 1e3, 2),
+    "ls_trip_pct_of_floor": round(100 * per_trip_bound / ls_trip, 1)
+    if ls_trip > 0 else None,
     "map_kernel_ms": round(t_map * 1e3, 1),
     "grid_kernel_ms": round(t_grid * 1e3, 1),
     "irls_kernel_ms": round(t_irls * 1e3, 1),
     "irls_mean_iters": round(mean_it_b, 1),
+    "irls_per_trip_ms": round(irls_trip * 1e3, 2),
     "pipeline_ms": round(t_pipe * 1e3, 0),
-    "kernel_sum_ms": round((t_ls + t_map + t_grid + t_irls) * 1e3, 1),
 }
 print(json.dumps(line))

@@ -145,3 +145,55 @@ def test_apeglm_behavioral_contract():
         shrunk = np.abs(map_[noisy]) / np.abs(mle[noisy])
         assert np.median(shrunk) < np.median(keep) - 0.1
         assert np.median(shrunk) < 0.85
+
+
+def test_normal_fused_route_matches_host(fitted, monkeypatch):
+    """lfc_shrink(type='normal', contrast=...) through the fused
+    betaPrior pipeline equals the host two-pass refit (VERDICT r4
+    item 4)."""
+    dds, res = fitted
+    monkeypatch.setenv("DESEQ2_TPU_ENGINE", "host")
+    host = lfc_shrink(dds, contrast=("condition", "B", "A"),
+                      res=res, type="normal")
+    monkeypatch.setenv("DESEQ2_TPU_ENGINE", "fused")
+    fused = lfc_shrink(dds, contrast=("condition", "B", "A"),
+                       res=res, type="normal")
+    for k in ("log2FoldChange", "lfcSE", "stat", "pvalue", "padj"):
+        a = np.asarray(host[k], float)
+        b = np.asarray(fused[k], float)
+        assert np.array_equal(np.isnan(a), np.isnan(b)), k
+        m = ~np.isnan(a)
+        np.testing.assert_allclose(a[m], b[m], rtol=1e-6, atol=1e-9,
+                                   err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(host.prior_info["betaPriorVar"], float),
+        np.asarray(fused.prior_info["betaPriorVar"], float), rtol=1e-6)
+
+
+def test_normal_fused_route_matches_host_with_replacement(monkeypatch):
+    """The light fused route stays exact when count outliers were
+    replaced: it consumes the stored post-replacement dispersions and
+    the original counts, exactly like the host refit."""
+    from deseq2_tpu import make_example_dataset as mk
+    dds = mk(n=250, m=16, beta_sd=1.0, seed=9)
+    c = np.asarray(dds.counts).copy()
+    rng = np.random.default_rng(4)
+    for i in rng.choice(250, 6, replace=False):
+        c[i, int(rng.integers(16))] = int(c[i].mean() * 40 + 500)
+    dds.counts[:] = c
+    fit = deseq(dds)
+    assert np.nansum(fit.row_data.get("replace")) > 0
+    res = results(fit)
+    monkeypatch.setenv("DESEQ2_TPU_ENGINE", "host")
+    host = lfc_shrink(fit, contrast=("condition", "B", "A"),
+                      res=res, type="normal")
+    monkeypatch.setenv("DESEQ2_TPU_ENGINE", "fused")
+    fused = lfc_shrink(fit, contrast=("condition", "B", "A"),
+                       res=res, type="normal")
+    for k in ("log2FoldChange", "lfcSE"):
+        a = np.asarray(host[k], float)
+        b = np.asarray(fused[k], float)
+        assert np.array_equal(np.isnan(a), np.isnan(b)), k
+        m = ~np.isnan(a)
+        np.testing.assert_allclose(a[m], b[m], rtol=1e-6, atol=1e-9,
+                                   err_msg=k)
