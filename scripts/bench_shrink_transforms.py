@@ -54,6 +54,24 @@ t("lfc_shrink_normal_s",
   lambda: dt.lfc_shrink(fit, contrast=("condition", "B", "A"),
                         type="normal"))
 t("vst_s", lambda: dt.vst(dds), reps=1)
+
+
+def vst_mat():
+    v = dt.vst(dds)
+    _ = v.matrix            # materialize: the (G,S) tunnel download
+    return v
+
+
+t("vst_plus_materialize_s", vst_mat, reps=1)
 t("rlog_s", lambda: dt.rlog(dds), reps=1)
+
+
+def rlog_mat():
+    r = dt.rlog(dds)
+    _ = r.matrix
+    return r
+
+
+t("rlog_plus_materialize_s", rlog_mat, reps=1)
 
 print(json.dumps(out))
