@@ -48,6 +48,46 @@ from .fused import LN2, LOG2E, _bh_adjust, _gamma_trend_fit, _masked_median
 
 DEFAULT_CHUNK = 2048
 
+
+_DENSE_DISABLED = False
+
+
+def _dense_block_budget():
+    """Byte budget for gathering straggler rows into a dense (cap, S)
+    buffer (vs per-chunk row gathers, ~8x slower per element).  The
+    dense blocks' lifetimes overlap inside one stage program, so on a
+    16 GB chip at 30k x 50k the default must leave room for the 6 GB
+    counts + working set; override with DESEQ2_TPU_SC_DENSE_BUDGET
+    (bytes, 0 disables dense blocks).
+
+    The decision is ALL-OR-NOTHING per fused_sc_results call
+    (_DENSE_DISABLED, set by _configure_dense_blocks): mixing dense and
+    row-gather levels inside one straggler cascade is an untested
+    combination, so when the largest cascade block would not fit the
+    budget every level takes the row-gather path."""
+    import os
+    if _DENSE_DISABLED:
+        return 0
+    return int(os.environ.get("DESEQ2_TPU_SC_DENSE_BUDGET", 1_600_000_000))
+
+
+def _configure_dense_blocks(G, S):
+    """Disable dense straggler blocks for this call when the LARGEST
+    cascade block (stage-1 uses caps down from ~G/2) would exceed the
+    budget — the 2025 libtpu buffer assignment charges the overlapping
+    dense blocks' lifetimes against HBM at compile time, and at
+    30k x 50k the 6 GB counts leave no room for them (measured cost of
+    all-row-gather: ~9% at that shape)."""
+    global _DENSE_DISABLED
+    import os
+    budget = int(os.environ.get("DESEQ2_TPU_SC_DENSE_BUDGET",
+                                1_600_000_000))
+    # largest cascade cap any stage can request: the biggest power of
+    # two c with c * 2 <= G (stage caps are bucketed powers of two
+    # subject to that halving guard), floored at 512
+    worst_cap = 1 << max(9, (max(G, 2) // 2).bit_length() - 1)
+    _DENSE_DISABLED = worst_cap * S * 4 > budget
+
 __all__ = ["fused_sc_pipeline", "fused_sc_results", "DEFAULT_CHUNK"]
 
 
@@ -364,7 +404,7 @@ def _make_lp_dlp(env, cnt, q_, min_mu, dtype, row_idx=None, tails=None):
 
 
 def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
-                 min_mu, dtype, make_lp=_make_lp_dlp, tails=None):
+                 min_mu, dtype, make_lp=_make_lp_dlp, tails=None, dense_ok=True):
     """Armijo backtracking ascent (cpp:163-277), streamed, with
     straggler compaction: once the live set fits G//8, gather those
     genes' count rows and finish on the compacted block — tail
@@ -457,9 +497,13 @@ def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
             abs_idx = abs_new
             pm_c = pm[abs_idx] if jnp.ndim(pm) else pm
             t_sub = None if tails is None else tails[abs_idx]
-            if cap * counts_p.shape[1] * 4 <= 1_600_000_000:
+            if dense_ok and \
+                    cap * counts_p.shape[1] * 4 <= _dense_block_budget():
                 # dense straggler block (see _ovf_subproblem): one row
-                # gather beats per-chunk gathers ~8x per element
+                # gather beats per-chunk gathers ~8x per element.
+                # dense_ok=False when make_lp composes a subproblem's
+                # row indices (overflow redo): gathering global rows
+                # under a composed index map would read the wrong genes
                 cnt_sub = jnp.take(counts_p, abs_idx, axis=0)
                 env_sub = dict(env, counts_p=cnt_sub)
                 if env.get("nf_p") is not None:
@@ -483,14 +527,15 @@ def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
 
 
 def _gene_est_search(env, mu_state, alpha_init, grid, maxit, min_disp,
-                     min_mu, dtype, max_disp, make_lp, tails=None):
+                     min_mu, dtype, max_disp, make_lp, tails=None, dense_ok=True):
     """Gene-wise dispersion MLE: line search + no-increase rule + grid
     fallback (R/core.R:765-847), shared by the group and X stage-1
     variants and by the overflow redo of the histogram fast path."""
     la0 = jnp.log(alpha_init)
     mle = _line_search(env, mu_state, la0, False, la0,
                        jnp.asarray(1.0, dtype), maxit, min_disp, min_mu,
-                       dtype, make_lp=make_lp, tails=tails)
+                       dtype, make_lp=make_lp, tails=tails,
+                       dense_ok=dense_ok)
     alpha_mle = jnp.minimum(jnp.exp(mle["log_alpha"]), max_disp)
     no_inc = mle["last_lp"] < mle["initial_lp"] + \
         jnp.abs(mle["initial_lp"]) / 1e6
@@ -518,11 +563,12 @@ def _gene_est_hist(env, mu_state, alpha_init, grid, maxit, min_disp,
     if ovf_cap > 0:
         ovf = max_y >= HIST_K
         idx = compact_live_indices(ovf, ovf_cap)
-        env_sub, sub_make = _ovf_subproblem(env, idx, base_make)
+        env_sub, sub_make, sub_dense = _ovf_subproblem(env, idx,
+                                                       base_make)
         dge2, it2 = _gene_est_search(env_sub, mu_state[idx],
                                      alpha_init[idx], grid, maxit,
                                      min_disp, min_mu, dtype, max_disp,
-                                     sub_make)
+                                     sub_make, dense_ok=sub_dense)
         sel = ovf[idx]
         dge = dge.at[idx].set(jnp.where(sel, dge2, dge[idx]))
         it = it.at[idx].set(jnp.where(sel, it2, it[idx]))
@@ -540,26 +586,30 @@ def _ovf_subproblem(env, idx, base_make):
     cap = idx.shape[0]
     Sp = env["counts_p"].shape[1]
     itemsize = 4
-    if cap * Sp * itemsize <= 1_600_000_000:
+    if cap * Sp * itemsize <= _dense_block_budget():
         env_sub = dict(env, counts_p=jnp.take(env["counts_p"], idx,
                                               axis=0))
         if env.get("nf_p") is not None:
             env_sub["nf_p"] = jnp.take(env["nf_p"], idx, axis=0)
-        return env_sub, base_make
+        return env_sub, base_make, True
 
     def sub_make(e, c, ms, mm, dt, ri=None, tails=None):
         return base_make(e, c, ms, mm, dt,
                          idx if ri is None else idx[ri])
 
-    return env, sub_make
+    # composed row-index formulation: the inner cascade must NOT take
+    # dense blocks (a global-row gather under the composed index map
+    # would read the wrong genes)
+    return env, sub_make, False
 
 
 def _map_search(env, mu_state, disp_init, pm, pv, grid, maxit,
-                min_disp, min_mu, dtype, max_disp, make_lp, tails=None):
+                min_disp, min_mu, dtype, max_disp, make_lp, tails=None, dense_ok=True):
     """MAP shrinkage line search + grid fallback (R/core.R:1016-1063)."""
     map_res = _line_search(env, mu_state, jnp.log(disp_init), True, pm,
                            pv, maxit, min_disp, min_mu, dtype,
-                           make_lp=make_lp, tails=tails)
+                           make_lp=make_lp, tails=tails,
+                           dense_ok=dense_ok)
     disp_map = jnp.exp(map_res["log_alpha"])
     need = map_res["iter"] >= maxit
     disp_map = _grid_fallback(env, mu_state, grid, disp_map, need, pm,
@@ -579,10 +629,12 @@ def _map_hist(env, mu_state, disp_init, pm, pv, grid, maxit, min_disp,
     if ovf_cap > 0:
         ovf = max_y >= HIST_K
         idx = compact_live_indices(ovf, ovf_cap)
-        env_sub, sub_make = _ovf_subproblem(env, idx, base_make)
+        env_sub, sub_make, sub_dense = _ovf_subproblem(env, idx,
+                                                       base_make)
         dm2 = _map_search(env_sub, mu_state[idx], disp_init[idx],
                           pm[idx], pv, grid, maxit, min_disp, min_mu,
-                          dtype, max_disp, sub_make)
+                          dtype, max_disp, sub_make,
+                          dense_ok=sub_dense)
         dm = dm.at[idx].set(jnp.where(ovf[idx], dm2, dm[idx]))
     return dm
 
@@ -974,7 +1026,7 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
                 state = (state[0],) + tuple(v[loc] for v in state[1:])
                 abs_idx = abs_new
                 data_sub = tuple(v[abs_idx] for v in data_full)
-                if cap * Sp_bytes <= 1_600_000_000:
+                if cap * Sp_bytes <= _dense_block_budget():
                     cnt_sub = jnp.take(counts_p, abs_idx, axis=0)
                     env_sub = dict(env, counts_p=cnt_sub)
                     if env.get("nf_p") is not None:
@@ -1494,6 +1546,7 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
     from ..results import choose_filter_theta
 
     G, S = counts.shape
+    _configure_dense_blocks(G, S)
     use_x = design is not None
     if norm_factors is not None and not use_x:
         raise ValueError("norm_factors at single-cell scale require the "

@@ -304,97 +304,136 @@ def _apeglm_fit(y, x, nf_log, alpha, weights, coef_num, prior_scale,
     observed information at the mode (Laplace approximation), matching
     apeglm's 'nbinomCR' method family.
     """
+    from .ops.padding import cascade_caps, cascade_while
+
     G, S = y.shape
     p = x.shape[1]
     dtype = jnp.float64
-    y = jnp.asarray(y, dtype)
+    y = y.astype(dtype) if hasattr(y, "astype") and not isinstance(
+        y, np.ndarray) else jnp.asarray(np.asarray(y), dtype)
     x = jnp.asarray(x, dtype)
+    nf_1d = np.ndim(nf_log) == 1
     nf_log = jnp.asarray(nf_log, dtype)
     alpha = jnp.asarray(alpha, dtype)
-    w_obs = jnp.ones((G, S), dtype) if weights is None else \
-        jnp.asarray(weights, dtype)
+    use_w = weights is not None
+    w_obs = None if weights is None else jnp.asarray(weights, dtype)
     is_coef = jnp.arange(p) == coef_num
     prior_scale = jnp.asarray(prior_scale, dtype)
+    xx = (x[:, :, None] * x[:, None, :]).reshape(S, p * p)
 
-    def neg_post_grad_hess(beta):
-        eta = beta @ x.T + nf_log
-        mu = jnp.exp(eta)
-        size = 1.0 / alpha[:, None]
-        # NB log-lik derivative wrt eta: y - mu*(y+size)/(mu+size)
-        frac = (y + size) / (mu + size)
-        dl_deta = w_obs * (y - mu * frac)
-        grad_ll = jnp.einsum("gs,sp->gp", dl_deta, x)
-        # observed information wrt eta (expected form with NB2):
-        winfo = w_obs * mu * frac * (size / (mu + size))
-        # hessian of negative loglik: X' diag(winfo) X  (Fisher scoring form)
-        S_, p_ = x.shape
-        xx = (x[:, :, None] * x[:, None, :]).reshape(S_, p_ * p_)
-        hess_ll = (winfo @ xx).reshape(G, p_, p_)
-        # prior: Student-t(df, 0, prior_scale) on coef —
-        # d/db log p = -(df+1) b / (df S^2 + b^2) — and
-        # normal(0, no_shrink_scale) on the others
-        b = beta
-        ds2 = prior_df * prior_scale ** 2
-        t_grad = -(prior_df + 1.0) * b / (ds2 + b ** 2)
-        t_hess = ((prior_df + 1.0) * (b ** 2 - ds2)
-                  / (ds2 + b ** 2) ** 2)
-        norm_grad = -b / no_shrink_scale ** 2
-        norm_hess = jnp.full_like(b, -1.0 / no_shrink_scale ** 2)
-        pg = jnp.where(is_coef[None, :], t_grad, norm_grad)
-        ph = jnp.where(is_coef[None, :], t_hess, norm_hess)
-        grad = grad_ll + pg
-        hess = hess_ll - _batch_diag(ph)
-        return grad, hess
+    def make_fns(d):
+        """Posterior pieces closed over the per-gene arrays in `d` —
+        reusable on compacted straggler subsets (ops/padding)."""
+        d_y = d["y"]
+        d_alpha = d["alpha"]
+        d_nfl = d.get("nf_log", nf_log)   # (S,) broadcasts to subsets
+        d_w = d.get("w_obs")
 
-    def log_post(beta):
-        eta = beta @ x.T + nf_log
-        mu = jnp.exp(eta)
-        ll = jnp.sum(w_obs * nb_logpmf(y, mu, alpha[:, None]), axis=-1)
-        b = beta
-        lp_c = -0.5 * (prior_df + 1.0) * jnp.log1p(
-            b ** 2 / (prior_df * prior_scale ** 2))
-        lp_n = -0.5 * b ** 2 / no_shrink_scale ** 2
-        lp = jnp.where(is_coef[None, :], lp_c, lp_n).sum(axis=-1)
-        return ll + lp
+        def grad_hess(beta):
+            eta = beta @ x.T + d_nfl
+            mu = jnp.exp(eta)
+            size = 1.0 / d_alpha[:, None]
+            # NB log-lik derivative wrt eta: y - mu*(y+size)/(mu+size)
+            frac = (d_y + size) / (mu + size)
+            dl_deta = d_y - mu * frac
+            winfo = mu * frac * (size / (mu + size))
+            if d_w is not None:
+                dl_deta = d_w * dl_deta
+                winfo = d_w * winfo
+            grad_ll = jnp.einsum("gs,sp->gp", dl_deta, x)
+            hess_ll = (winfo @ xx).reshape(beta.shape[0], p, p)
+            # prior: Student-t(df, 0, prior_scale) on coef —
+            # d/db log p = -(df+1) b / (df S^2 + b^2) — and
+            # normal(0, no_shrink_scale) on the others
+            b = beta
+            ds2 = prior_df * prior_scale ** 2
+            t_grad = -(prior_df + 1.0) * b / (ds2 + b ** 2)
+            t_hess = ((prior_df + 1.0) * (b ** 2 - ds2)
+                      / (ds2 + b ** 2) ** 2)
+            norm_grad = -b / no_shrink_scale ** 2
+            norm_hess = jnp.full_like(b, -1.0 / no_shrink_scale ** 2)
+            pg = jnp.where(is_coef[None, :], t_grad, norm_grad)
+            ph = jnp.where(is_coef[None, :], t_hess, norm_hess)
+            return grad_ll + pg, hess_ll - _batch_diag(ph)
+
+        def log_post(beta):
+            eta = beta @ x.T + d_nfl
+            mu = jnp.exp(eta)
+            ll_mat = nb_logpmf(d_y, mu, d_alpha[:, None])
+            if d_w is not None:
+                ll_mat = d_w * ll_mat
+            ll = jnp.sum(ll_mat, axis=-1)
+            b = beta
+            lp_c = -0.5 * (prior_df + 1.0) * jnp.log1p(
+                b ** 2 / (prior_df * prior_scale ** 2))
+            lp_n = -0.5 * b ** 2 / no_shrink_scale ** 2
+            lp = jnp.where(is_coef[None, :], lp_c, lp_n).sum(axis=-1)
+            return ll + lp
+
+        return grad_hess, log_post
+
+    def make_body(d):
+        grad_hess, log_post = make_fns(d)
+
+        def body(state):
+            i, beta, step, active, lp0 = state
+            g, h = grad_hess(beta)
+            h = h + jnp.eye(p, dtype=dtype)[None] * 1e-8
+            delta = _chol_solve_safe(h, g)
+
+            # backtracking: halve until improvement (3 tries,
+            # vectorized); lp0 carried from the previous accept
+            def try_step(s):
+                cand = beta + s[:, None] * delta
+                return cand, log_post(cand)
+
+            cand1, lp1 = try_step(step)
+            ok1 = lp1 >= lp0
+            cand2, lp2 = try_step(step * 0.5)
+            ok2 = lp2 >= lp0
+            cand3, lp3 = try_step(step * 0.25)
+            ok3 = lp3 >= lp0
+            new_beta = jnp.where(
+                ok1[:, None], cand1,
+                jnp.where(ok2[:, None], cand2,
+                          jnp.where(ok3[:, None], cand3, beta)))
+            new_lp = jnp.where(ok1, lp1,
+                               jnp.where(ok2, lp2,
+                                         jnp.where(ok3, lp3, lp0)))
+            new_step = jnp.where(ok1, jnp.minimum(step * 1.5, 1.0),
+                                 jnp.where(ok2 | ok3, step * 0.5,
+                                           step * 0.25))
+            new_beta = jnp.where(active[:, None], new_beta, beta)
+            new_lp = jnp.where(active, new_lp, lp0)
+            new_step = jnp.where(active, new_step, step)
+            # converged once an ACCEPTED step stops moving the mode (a
+            # full reject only shrinks the step and stays active)
+            eps = jnp.finfo(dtype).eps
+            dmax = jnp.max(jnp.abs(new_beta - beta), axis=-1)
+            scale = 1.0 + jnp.max(jnp.abs(new_beta), axis=-1)
+            accepted = ok1 | ok2 | ok3
+            converged = accepted & ((dmax <= 8.0 * eps * scale)
+                                    | (dmax <= 1e-8))
+            active = active & ~converged
+            return i + 1, new_beta, new_step, active, new_lp
+
+        return body
 
     beta = jnp.zeros((G, p), dtype) if beta_init is None else \
         jnp.asarray(beta_init, dtype)
-
-    def body(state):
-        i, beta, step, active = state
-        g, h = neg_post_grad_hess(beta)
-        h = h + jnp.eye(p, dtype=dtype)[None] * 1e-8
-        delta = _chol_solve_safe(h, g)
-        lp0 = log_post(beta)
-        # backtracking: halve until improvement (3 tries, vectorized)
-        def try_step(s):
-            cand = beta + s[:, None] * delta
-            return cand, log_post(cand)
-        cand1, lp1 = try_step(step)
-        ok1 = lp1 >= lp0
-        cand2, lp2 = try_step(step * 0.5)
-        ok2 = lp2 >= lp0
-        cand3, lp3 = try_step(step * 0.25)
-        ok3 = lp3 >= lp0
-        new_beta = jnp.where(ok1[:, None], cand1,
-                             jnp.where(ok2[:, None], cand2,
-                                       jnp.where(ok3[:, None], cand3, beta)))
-        new_step = jnp.where(ok1, jnp.minimum(step * 1.5, 1.0),
-                             jnp.where(ok2 | ok3, step * 0.5, step * 0.25))
-        new_beta = jnp.where(active[:, None], new_beta, beta)
-        # converged: the Newton step stopped moving the mode
-        eps = jnp.finfo(dtype).eps
-        dmax = jnp.max(jnp.abs(new_beta - beta), axis=-1)
-        scale = 1.0 + jnp.max(jnp.abs(new_beta), axis=-1)
-        active = active & (dmax > 8.0 * eps * scale) & (dmax > 1e-8)
-        return i + 1, new_beta, new_step, active
-
+    data = dict(y=y, alpha=alpha)
+    if not nf_1d:
+        data["nf_log"] = nf_log
+    if use_w:
+        data["w_obs"] = w_obs
+    _, log_post_full = make_fns(data)
     state = (jnp.zeros((), jnp.int32), beta, jnp.ones(G, dtype),
-             jnp.ones(G, bool))
-    state = jax.lax.while_loop(
-        lambda s: (s[0] < n_iter) & jnp.any(s[3]), body, state)
-    _, beta, _, _ = state
-    _, hess = neg_post_grad_hess(beta)
+             jnp.ones(G, bool), log_post_full(beta))
+    state = cascade_while(make_body, lambda s: s[3], data, state,
+                          n_iter, cascade_caps(G))
+    _, beta, _, _, _ = state
+    grad_hess_full, _ = make_fns(data)
+    _, hess = grad_hess_full(beta)
     cov = jnp.linalg.inv(hess + jnp.eye(p, dtype=dtype)[None] * 1e-10)
     sd = jnp.sqrt(jnp.clip(jnp.diagonal(cov, axis1=-2, axis2=-1), 0.0,
                            jnp.inf))
@@ -439,9 +478,13 @@ def _shrink_apeglm(dds, coef_num, coef_alpha, res, lfc_threshold, svalue,
         x = dds.attrs["modelMatrix"]
     else:
         x, _ = dds.renamed_model_matrix()
-    disps = obj.row_data["dispersion"].copy()
+    disps = np.asarray(obj.row_data["dispersion"]).copy()
     disps = np.where(np.isnan(disps), 1.0, disps)
-    nf = obj.size_or_norm_factors()
+    # shared per-sample factors ride as an (S,) row (broadcasts in the
+    # fit, incl. on compacted straggler subsets); (G,S) only for
+    # gene x sample normalization factors
+    nf = (obj.normalization_factors if obj.normalization_factors
+          is not None else np.asarray(obj.size_factors))
     weights = obj.assays.get("weights")
     # Adaptive Cauchy prior scale from the MLEs (natural-log scale),
     # following the moment-matching idea of Zhu, Ibrahim & Love (2018):
