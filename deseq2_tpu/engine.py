@@ -185,6 +185,35 @@ def _device_counts_deferred(counts):
     return d, lambda: True
 
 
+_WEIGHTS_CACHE = {}
+
+
+def _device_weights(weights, mm):
+    """Content-keyed placement + validation cache for the observation
+    weights matrix (the analog of _device_counts): a warm call skips
+    both the (G,S) upload and the on-device estimability validation
+    (getAndCheckWeights' rank tests).  The key includes the model
+    matrix content — validation depends on it.  Raises ValueError for
+    weights the fused path refuses (host handles weightsFail)."""
+    from .parallel.fused import _validated_weights
+    a = np.asarray(weights)
+    n = a.size
+    flat = a.reshape(-1)
+    s0 = float(flat.sum(dtype=np.float64))
+    s1 = float(flat[:: max(1, n // 8192)].astype(np.float64).sum())
+    key = (a.shape, str(a.dtype), s0, s1,
+           np.asarray(mm, np.float64).tobytes())
+    hit = _WEIGHTS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with profiling.stage("fused.weightsUploadValidate"):
+        dev = _validated_weights(a, np.asarray(mm, np.float64))
+    if len(_WEIGHTS_CACHE) >= 4:
+        _WEIGHTS_CACHE.pop(next(iter(_WEIGHTS_CACHE)))
+    _WEIGHTS_CACHE[key] = dev
+    return dev
+
+
 def resolve_engine(engine):
     if engine is None:
         engine = os.environ.get("DESEQ2_TPU_ENGINE", "auto")
@@ -306,9 +335,8 @@ def deseq_fused(dds, test="Wald", fit_type="parametric", sf_type="ratio",
 
     from .dataset import DispersionFunction
     from .formula import Factor, rename_model_matrix_columns
-    from .parallel.fused import (_reduced_args, _validated_weights,
-                                 design_cells, fused_wald_pipeline,
-                                 run_fused_sharded)
+    from .parallel.fused import (_reduced_args, design_cells,
+                                 fused_wald_pipeline, run_fused_sharded)
 
     if fit_type == "glmGamPoi":
         return deseq_sc_fused(dds, reduced=reduced, full=full,
@@ -348,9 +376,9 @@ def deseq_fused(dds, test="Wald", fit_type="parametric", sf_type="ratio",
     weights = None
     if "weights" in dds.assays:
         try:
-            # validated on device; returns the device-resident array so
-            # the (G,S) matrix is uploaded exactly once
-            weights = _validated_weights(dds.assays["weights"], mm)
+            # content-keyed placement + validation cache: warm calls
+            # skip the (G,S) upload AND the estimability validation
+            weights = _device_weights(dds.assays["weights"], mm)
         except ValueError:
             return None   # host path handles weightsFail demotion
 
@@ -646,9 +674,14 @@ def deseq_fused(dds, test="Wald", fit_type="parametric", sf_type="ratio",
            "maximum Cook's distance for row")
     if use_t:
         if weights is not None:
-            w_h = np.asarray(weights, np.float64)
-            wn = w_h / w_h.max(axis=1, keepdims=True)
-            df = wn.sum(axis=1) - mm.shape[1]
+            # device reduction: (sum of max-1-normalized weights) - p;
+            # fetching the (G,S) weights to host costs seconds over a
+            # network-attached chip
+            import jax.numpy as jnp
+            wd = jnp.asarray(weights)
+            df = np.asarray(jax.device_get(
+                jnp.sum(wd / jnp.max(wd, axis=1, keepdims=True),
+                        axis=1)), np.float64) - mm.shape[1]
         else:
             df = np.full(dds.n_genes,
                          float(dds.n_samples - mm.shape[1]))

@@ -116,3 +116,32 @@ def test_ordered_factor_roundtrip(tmp_path):
     back = dt.load_dataset(p)
     assert back.col_data["stage"].ordered is True
     assert back.col_data["condition"].ordered is False
+
+
+def test_roundtrip_fused_routed(tmp_path, dds):
+    """A fused-engine-routed dataset (lazy device-resident row_data
+    columns + device assays + device results tail) serializes and
+    reloads equal to the host-routed one."""
+    import deseq2_tpu as dt
+
+    f = dt.deseq(dds, engine="fused")
+    path = tmp_path / "fused.npz"
+    dt.save_dataset(f, path)
+    back = dt.load_dataset(path)
+    h = dt.deseq(dds, engine="host")
+    for k in ("dispersion", "dispGeneEst", "deviance", "baseMean"):
+        np.testing.assert_allclose(
+            np.asarray(back.row_data[k], float),
+            np.asarray(h.row_data[k], float), rtol=1e-9, atol=1e-12,
+            err_msg=k)
+    np.testing.assert_allclose(np.asarray(back.assays["mu"], float),
+                               np.asarray(h.assays["mu"], float),
+                               rtol=1e-7, atol=1e-9)
+    # results() on the reloaded object (tail dropped -> host flow)
+    ra = dt.results(back)
+    rb = dt.results(h)
+    both = np.isfinite(np.asarray(ra["padj"], float)) \
+        & np.isfinite(np.asarray(rb["padj"], float))
+    np.testing.assert_allclose(np.asarray(ra["padj"], float)[both],
+                               np.asarray(rb["padj"], float)[both],
+                               rtol=1e-8)

@@ -164,3 +164,65 @@ def test_rlog_scales_to_many_samples():
     dt = time.perf_counter() - t0
     assert np.isfinite(tr.matrix).all()
     assert dt < 60.0
+
+
+def test_device_paths_match_host(dds, monkeypatch):
+    """The accelerator transform paths (device VST closed form, device
+    rlog arrow IRLS + prior-variance quantile, device base stats,
+    fused gene-est/trend route) must agree with the host f64 paths.
+    On the CPU test backend the device gate is off; force it on — the
+    same jnp code runs on CPU — and compare at f32-level tolerance."""
+    import deseq2_tpu.transforms as tf
+
+    host_v = variance_stabilizing_transformation(dds, blind=True)
+    host_r = rlog(dds, blind=True)
+
+    monkeypatch.setattr(tf, "_use_device", lambda d: True)
+    dev_v = variance_stabilizing_transformation(dds, blind=True)
+    dev_r = rlog(dds, blind=True)
+
+    assert not isinstance(dev_v.matrix_device, np.ndarray)  # stayed lazy
+    np.testing.assert_allclose(dev_v.matrix, host_v.matrix,
+                               rtol=2e-3, atol=2e-3)
+    # rlog: same prior variance family and close matrices (f32 IRLS
+    # landing + f32 quantile vs f64)
+    np.testing.assert_allclose(dev_r.attrs["betaPriorVar"],
+                               host_r.attrs["betaPriorVar"], rtol=5e-3)
+    np.testing.assert_allclose(dev_r.matrix, host_r.matrix,
+                               rtol=5e-3, atol=5e-2)
+
+
+def test_base_stats_dev_matches_host(dds):
+    import deseq2_tpu.transforms as tf
+    from deseq2_tpu.dispersions import get_base_means_and_variances
+
+    d = estimate_size_factors(dds)
+    bm, bv, az = tf._base_stats_dev(d)
+    h = get_base_means_and_variances(d)
+    np.testing.assert_allclose(bm, h.row_data["baseMean"], rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(bv, h.row_data["baseVar"], rtol=1e-4,
+                               atol=1e-3)
+    assert np.array_equal(az, h.row_data["allZero"])
+
+
+def test_rlog_prior_var_dev_matches_host(dds):
+    import deseq2_tpu.transforms as tf
+    from deseq2_tpu.dispersions import (estimate_dispersions_fit,
+                                        estimate_dispersions_gene_est)
+    from deseq2_tpu.quantiles import \
+        match_weighted_upper_quantile_for_variance
+
+    d = estimate_size_factors(dds)
+    d = estimate_dispersions_gene_est(d, quiet=True)
+    d = estimate_dispersions_fit(d, quiet=True)
+    nz = ~d.row_data["allZero"]
+    obj_nz = d.subset_genes(nz)
+    log_counts = np.log2(obj_nz.counts_normalized() + 0.5)
+    lfc = log_counts - np.log2(obj_nz.row_data["baseMean"] + 0.5)[:, None]
+    w = 1.0 / (1.0 / obj_nz.row_data["baseMean"]
+               + obj_nz.row_data["dispFit"])
+    host = match_weighted_upper_quantile_for_variance(
+        lfc.ravel(order="F"), np.tile(w, obj_nz.n_samples))
+    dev = tf._rlog_prior_var_dev(d, np.asarray(nz))
+    np.testing.assert_allclose(dev, host, rtol=5e-3)
