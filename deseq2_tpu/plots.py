@@ -131,11 +131,32 @@ def plot_pca_data(transform, intgroup=("condition",), ntop=500, pc_x=1,
     reference's returnData=TRUE data.frame."""
     if isinstance(intgroup, str):
         intgroup = (intgroup,)
-    mat = np.asarray(transform.matrix, dtype=np.float64)
-    rv = mat.var(axis=1, ddof=1)
-    ntop = min(ntop, mat.shape[0])
-    select = np.argsort(rv)[::-1][:ntop]
-    x = mat[select].T  # samples x genes
+    raw = getattr(transform, "matrix_device", None)
+    if raw is not None and not isinstance(raw, np.ndarray):
+        # device-resident payload (vst/rlog on an accelerator): compute
+        # the row variances and gather the top-ntop genes ON DEVICE —
+        # only (ntop, S) crosses to the host, not the (G, S) matrix
+        # (~12 s over a network-attached chip at 60k x 1k)
+        import jax
+        import jax.numpy as jnp
+        G = raw.shape[0]
+        ntop_d = min(ntop, G)
+
+        @jax.jit
+        def top_rows(m):
+            rv = jnp.var(m, axis=1, ddof=1)
+            sel = jnp.argsort(-rv)[:ntop_d]
+            return m[sel]
+
+        sub = np.asarray(jax.device_get(top_rows(raw)), np.float64)
+        n_genes, n_samples = G, raw.shape[1]
+        x = sub.T  # samples x genes
+    else:
+        mat = np.asarray(transform.matrix, dtype=np.float64)
+        rv = mat.var(axis=1, ddof=1)
+        select = np.argsort(rv)[::-1][:min(ntop, mat.shape[0])]
+        n_samples = mat.shape[1]
+        x = mat[select].T  # samples x genes
     xc = x - x.mean(axis=0, keepdims=True)
     u, s, _ = np.linalg.svd(xc, full_matrices=False)
     var_explained = s ** 2 / np.sum(s ** 2)
@@ -145,7 +166,7 @@ def plot_pca_data(transform, intgroup=("condition",), ntop=500, pc_x=1,
         raise ValueError(f"the argument 'intgroup' should specify columns "
                          f"of col_data; missing: {missing}")
     groups = []
-    for j in range(mat.shape[1]):
+    for j in range(n_samples):
         vals = []
         for g in intgroup:
             v = transform.col_data[g]
@@ -155,7 +176,7 @@ def plot_pca_data(transform, intgroup=("condition",), ntop=500, pc_x=1,
     return dict(x=pcs[:, pc_x - 1], y=pcs[:, pc_y - 1],
                 percent_var=var_explained, group=np.asarray(groups),
                 sample_names=list(transform.col_names or
-                                  range(mat.shape[1])))
+                                  range(n_samples)))
 
 
 def plot_pca(transform, intgroup=("condition",), ntop=500, pc_x=1, pc_y=2,

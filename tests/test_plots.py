@@ -71,3 +71,30 @@ def test_plot_sparsity(fitted):
     assert np.all((d["max_prop"] > 0) & (d["max_prop"] <= 1.0))
     ax = plot_sparsity(dds)
     assert ax is not None
+
+
+def test_plot_pca_device_payload_matches_host():
+    """plot_pca on a device-resident DESeqTransform payload (the
+    vst/rlog accelerator path) reduces on device and matches the host
+    numpy computation."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deseq2_tpu import make_example_dataset
+    from deseq2_tpu.plots import plot_pca_data
+    from deseq2_tpu.transforms import DESeqTransform, norm_transform
+
+    dds = make_example_dataset(n=300, m=10, beta_sd=1.0, seed=6)
+    t_host = norm_transform(dds)
+    t_dev = DESeqTransform(jnp.asarray(t_host.matrix, jnp.float32),
+                           t_host.col_data, t_host.row_names,
+                           t_host.col_names)
+    dh = plot_pca_data(t_host, intgroup=("condition",), ntop=100)
+    dd = plot_pca_data(t_dev, intgroup=("condition",), ntop=100)
+    # PCs match up to sign per component (f32 top-gene selection)
+    for k in ("x", "y"):
+        a, b = np.asarray(dh[k]), np.asarray(dd[k])
+        assert min(np.max(np.abs(a - b)), np.max(np.abs(a + b))) < 1e-3
+    np.testing.assert_allclose(dh["percent_var"], dd["percent_var"],
+                               atol=1e-4)
+    assert list(dh["group"]) == list(dd["group"])
