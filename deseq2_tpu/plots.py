@@ -149,7 +149,7 @@ def plot_pca_data(transform, intgroup=("condition",), ntop=500, pc_x=1,
             return m[sel]
 
         sub = np.asarray(jax.device_get(top_rows(raw)), np.float64)
-        n_genes, n_samples = G, raw.shape[1]
+        n_samples = raw.shape[1]
         x = sub.T  # samples x genes
     else:
         mat = np.asarray(transform.matrix, dtype=np.float64)
