@@ -84,3 +84,19 @@ def test_supported_predicate():
     assert not pallas_grid_supported(50000, 2, jnp.float32)
     assert not pallas_grid_supported(128, 9, jnp.float32)
     assert not pallas_grid_supported(128, 2, jnp.float32, use_weights=True)
+
+
+def test_pallas_gates_refuse_p1():
+    """Intercept-only designs (p=1) hit a Mosaic multi_reduction
+    limitation; the support gates must route them to the XLA path
+    (previously deseq(~1) crashed on TPU)."""
+    import jax.numpy as jnp
+
+    from deseq2_tpu.ops.pallas_disp import pallas_grid_supported
+    from deseq2_tpu.ops.pallas_irls import pallas_irls_supported
+    from deseq2_tpu.ops.pallas_ls import pallas_ls_supported
+
+    for fn in (pallas_ls_supported, pallas_irls_supported,
+               pallas_grid_supported):
+        assert not fn(1024, 1, jnp.float32)
+        assert fn(1024, 2, jnp.float32)
