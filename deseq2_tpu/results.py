@@ -585,6 +585,14 @@ def check_contrast(contrast, res_names):
             raise ValueError(f"{contrast[1]} and {contrast[2]} should be "
                              "different level names")
         return tuple(contrast)
+    if isinstance(contrast, (tuple, list)) \
+            and any(isinstance(s, str) for s in contrast):
+        # reference checkContrast: a character contrast must be exactly
+        # (factor, numerator level, denominator level)
+        raise ValueError("'contrast', as a character vector of length 3, "
+                         "should have the form: contrast = ('factorName', "
+                         "'numeratorLevel', 'denominatorLevel'), see the "
+                         "results() docstring")
     contrast = np.asarray(contrast, dtype=np.float64)
     if contrast.ndim != 1 or len(contrast) != len(res_names):
         raise ValueError("numeric contrast vector should have one element "

@@ -229,3 +229,14 @@ def test_results_tidy_and_save_cols():
     assert "dispGeneEst" in r.column_names
     with np.testing.assert_raises(ValueError):
         dt.results(dds, save_cols="nope")
+
+
+def test_two_element_character_contrast_raises():
+    """A length-2 character contrast must get the reference's guidance
+    message (R/results.R checkContrast), not a numpy coercion error."""
+    import pytest
+
+    dds = dt.deseq(dt.make_example_dataset(n=40, m=6, beta_sd=1.0,
+                                           seed=5))
+    with pytest.raises(ValueError, match="character vector of length 3"):
+        dt.results(dds, contrast=("condition", "B"))
