@@ -49,44 +49,79 @@ from .fused import LN2, LOG2E, _bh_adjust, _gamma_trend_fit, _masked_median
 DEFAULT_CHUNK = 2048
 
 
-_DENSE_DISABLED = False
+class _DenseLedger:
+    """Trace-time byte ledger for dense straggler blocks.
+
+    Gathering a cascade level's straggler rows into a dense (cap, S)
+    buffer beats per-chunk row gathers ~8x per element, but the 2025
+    libtpu buffer assignment charges the dense blocks' lifetimes
+    against HBM at compile time: granting EVERY level at 30k x 50k put
+    one stage program at 17.08 GB on a 15.75 GB chip (the 6 GB counts
+    leave no room for a 3.3 GB G/2 block plus its successors).  The
+    ledger bounds the total granted inside one stage program instead:
+    each jitted stage resets it at trace entry, then every dense site
+    asks grant(nbytes) and falls back to the row-gather formulation
+    once the stage's budget is spent.  Grant order = trace order =
+    cascade order, so the early (largest, most-iterated) levels that
+    fit are served first.  Mixed dense/row-gather cascades are exact
+    by construction (gather -> identical body -> scatter either way;
+    regression-tested with a budget that splits a cascade,
+    tests/test_sc.py::test_sc_mixed_dense_budget_exact).
+
+    Budget: DESEQ2_TPU_SC_DENSE_BUDGET bytes per stage program
+    (default 1.6 GB, 0 disables dense blocks).  Baked at trace time —
+    changing the env var mid-process only affects not-yet-compiled
+    shapes.
+    """
+
+    def __init__(self):
+        self.budget = 0
+        self.used = 0
+
+    def configure(self):
+        import os
+        self.budget = int(os.environ.get("DESEQ2_TPU_SC_DENSE_BUDGET",
+                                         1_600_000_000))
+        self.used = 0
+
+    def reset_stage(self):
+        self.used = 0
+
+    def grant(self, nbytes):
+        if self.used + nbytes <= self.budget:
+            self.used += nbytes
+            return True
+        return False
 
 
-def _dense_block_budget():
-    """Byte budget for gathering straggler rows into a dense (cap, S)
-    buffer (vs per-chunk row gathers, ~8x slower per element).  The
-    dense blocks' lifetimes overlap inside one stage program, so on a
-    16 GB chip at 30k x 50k the default must leave room for the 6 GB
-    counts + working set; override with DESEQ2_TPU_SC_DENSE_BUDGET
-    (bytes, 0 disables dense blocks).
-
-    The decision is ALL-OR-NOTHING per fused_sc_results call
-    (_DENSE_DISABLED, set by _configure_dense_blocks): mixing dense and
-    row-gather levels inside one straggler cascade is an untested
-    combination, so when the largest cascade block would not fit the
-    budget every level takes the row-gather path."""
-    import os
-    if _DENSE_DISABLED:
-        return 0
-    return int(os.environ.get("DESEQ2_TPU_SC_DENSE_BUDGET", 1_600_000_000))
+_DENSE = _DenseLedger()
+_DENSE.configure()
 
 
-def _configure_dense_blocks(G, S):
-    """Disable dense straggler blocks for this call when the LARGEST
-    cascade block (stage-1 uses caps down from ~G/2) would exceed the
-    budget — the 2025 libtpu buffer assignment charges the overlapping
-    dense blocks' lifetimes against HBM at compile time, and at
-    30k x 50k the 6 GB counts leave no room for them (measured cost of
-    all-row-gather: ~9% at that shape)."""
-    global _DENSE_DISABLED
-    import os
-    budget = int(os.environ.get("DESEQ2_TPU_SC_DENSE_BUDGET",
-                                1_600_000_000))
-    # largest cascade cap any stage can request: the biggest power of
-    # two c with c * 2 <= G (stage caps are bucketed powers of two
-    # subject to that halving guard), floored at 512
-    worst_cap = 1 << max(9, (max(G, 2) // 2).bit_length() - 1)
-    _DENSE_DISABLED = worst_cap * S * 4 > budget
+def _gather_rows_streamed(mat, idx, chunk):
+    """Row-gather for dense straggler blocks that preserves the
+    streaming layout of `mat`.
+
+    A monolithic ``jnp.take(mat, idx, axis=0)`` on the (G, Sp) counts
+    makes XLA materialize a second full-size copy of the matrix in the
+    row-major layout gathers prefer — the streamed scans read it in
+    column-chunk order, so BOTH layouts stay live and the 30k x 50k
+    stage programs OOM at compile ("Used 17.08G of 15.75G hbm": a
+    5.6 GB ``copy(counts)`` plus its remat-compressed twin, the real
+    cause behind the round-4/5 dense-block failures).  Gathering the
+    straggler rows chunk-by-chunk along the sample axis reads `mat` in
+    the same column-chunk pattern as the scans: the only large buffer
+    is the (cap, Sp) dense block itself.
+    """
+    G, Sp = mat.shape
+    n_ck = Sp // chunk      # Sp is chunk-padded by _setup/_setup_x
+
+    def piece(i):
+        blk = jax.lax.dynamic_slice_in_dim(mat, i * chunk, chunk, axis=1)
+        return jnp.take(blk, idx, axis=0)
+
+    parts = jax.lax.map(piece, jnp.arange(n_ck))
+    return jnp.moveaxis(parts, 0, 1).reshape(idx.shape[0], Sp)
 
 __all__ = ["fused_sc_pipeline", "fused_sc_results", "DEFAULT_CHUNK"]
 
@@ -498,17 +533,18 @@ def _line_search(env, q_mu, la0, use_prior, pm, pv, maxit, min_disp,
             pm_c = pm[abs_idx] if jnp.ndim(pm) else pm
             t_sub = None if tails is None else tails[abs_idx]
             if dense_ok and \
-                    cap * counts_p.shape[1] * 4 <= _dense_block_budget():
+                    _DENSE.grant(cap * counts_p.shape[1] * 4):
                 # dense straggler block (see _ovf_subproblem): one row
                 # gather beats per-chunk gathers ~8x per element.
                 # dense_ok=False when make_lp composes a subproblem's
                 # row indices (overflow redo): gathering global rows
                 # under a composed index map would read the wrong genes
-                cnt_sub = jnp.take(counts_p, abs_idx, axis=0)
+                ck_g = env["sfs"].shape[1]
+                cnt_sub = _gather_rows_streamed(counts_p, abs_idx, ck_g)
                 env_sub = dict(env, counts_p=cnt_sub)
                 if env.get("nf_p") is not None:
-                    env_sub["nf_p"] = jnp.take(env["nf_p"], abs_idx,
-                                               axis=0)
+                    env_sub["nf_p"] = _gather_rows_streamed(
+                        env["nf_p"], abs_idx, ck_g)
                 body_sub = make_body(
                     make_lp(env_sub, cnt_sub, q_mu[abs_idx], min_mu,
                             dtype, None, tails=t_sub), pm_c, pv)
@@ -586,11 +622,13 @@ def _ovf_subproblem(env, idx, base_make):
     cap = idx.shape[0]
     Sp = env["counts_p"].shape[1]
     itemsize = 4
-    if cap * Sp * itemsize <= _dense_block_budget():
-        env_sub = dict(env, counts_p=jnp.take(env["counts_p"], idx,
-                                              axis=0))
+    if _DENSE.grant(cap * Sp * itemsize):
+        ck_g = env["sfs"].shape[1]
+        env_sub = dict(env, counts_p=_gather_rows_streamed(
+            env["counts_p"], idx, ck_g))
         if env.get("nf_p") is not None:
-            env_sub["nf_p"] = jnp.take(env["nf_p"], idx, axis=0)
+            env_sub["nf_p"] = _gather_rows_streamed(env["nf_p"], idx,
+                                                    ck_g)
         return env_sub, base_make, True
 
     def sub_make(e, c, ms, mm, dt, ri=None, tails=None):
@@ -709,6 +747,7 @@ def _sc_stage1(counts, cells, size_factors, grid, n_groups, maxit=100,
                mesh=None, use_hist=False, ovf_cap=0):
     """Base stats + group means + gene-wise dispersion MLE
     (R/core.R:657-860).  Returns only (G,) / (G,C) summaries."""
+    _DENSE.reset_stage()
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     G, S = counts.shape
     p = n_groups
@@ -813,6 +852,7 @@ def _sc_stage_map(counts, cells, size_factors, grid, q, all_zero,
                   ovf_cap=0):
     """DESeq2-type MAP shrinkage line search with the log-normal prior
     (R/core.R:1016-1063)."""
+    _DENSE.reset_stage()
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     G, S = counts.shape
     min_disp = 10.0 ** min_disp_pow
@@ -1026,12 +1066,14 @@ def _make_glm_per_gene(env0, maxit, min_mu, dtype,
                 state = (state[0],) + tuple(v[loc] for v in state[1:])
                 abs_idx = abs_new
                 data_sub = tuple(v[abs_idx] for v in data_full)
-                if cap * Sp_bytes <= _dense_block_budget():
-                    cnt_sub = jnp.take(counts_p, abs_idx, axis=0)
+                if _DENSE.grant(cap * Sp_bytes):
+                    ck_g = env["sfs"].shape[1]
+                    cnt_sub = _gather_rows_streamed(counts_p, abs_idx,
+                                                    ck_g)
                     env_sub = dict(env, counts_p=cnt_sub)
                     if env.get("nf_p") is not None:
-                        env_sub["nf_p"] = jnp.take(env["nf_p"],
-                                                   abs_idx, axis=0)
+                        env_sub["nf_p"] = _gather_rows_streamed(
+                            env["nf_p"], abs_idx, ck_g)
                     _, body_sub = make_irls(data_sub, None, cnt=cnt_sub,
                                             env_l=env_sub)
                 else:
@@ -1130,6 +1172,7 @@ def _sc_stage_glm(counts, cells, size_factors, logq, all_zero, dispersion,
     dispersions(object) even when the betas were fit at the trend,
     R/fitNbinomGLMs.R:180-182) and the reduced closed form uses
     `ll_alpha_red` (= alpha_hat, R/fitNbinomGLMs.R:103-114)."""
+    _DENSE.reset_stage()
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     G, S = counts.shape
     p = n_groups
@@ -1166,6 +1209,7 @@ def _sc_stage1_x(counts, x, size_factors, grid, norm_factors=None,
     dispersions for mu + the dispersion MLE line search — the covariate
     equivalent of _sc_stage1 (R/core.R:657-860 with linearMu=False).
     Persistent state per gene: the (G,p) mu betas, never a (G,S)."""
+    _DENSE.reset_stage()
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     G, S = counts.shape
     x = x.astype(dtype)
@@ -1288,6 +1332,7 @@ def _sc_stage_map_x(counts, x, size_factors, grid, beta_mu, all_zero,
                     mesh=None, use_hist=False, ovf_cap=0):
     """MAP shrinkage line search for arbitrary designs (mu from the
     stage-1 betas; R/core.R:1016-1063)."""
+    _DENSE.reset_stage()
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     G, S = counts.shape
     min_disp = 10.0 ** min_disp_pow
@@ -1375,6 +1420,7 @@ def _sc_stage_glm_x(counts, x, size_factors, beta0, all_zero,
                     with_reduced=False, with_loglik=False):
     """Streamed ridge IRLS for an arbitrary model matrix (same core as
     the group _sc_stage_glm via _make_glm_per_gene)."""
+    _DENSE.reset_stage()
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     env0 = _setup_x(counts, x, size_factors, chunk, dtype,
                     norm_factors=norm_factors)
@@ -1546,7 +1592,7 @@ def fused_sc_results(counts, cells=None, size_factors=None, n_groups=None,
     from ..results import choose_filter_theta
 
     G, S = counts.shape
-    _configure_dense_blocks(G, S)
+    _DENSE.configure()
     use_x = design is not None
     if norm_factors is not None and not use_x:
         raise ValueError("norm_factors at single-cell scale require the "

@@ -314,3 +314,45 @@ def test_sc_norm_factors_covariate_matches_host():
     with pytest.raises(ValueError, match="group design with normal"):
         dt.deseq(dds2, test="LRT", reduced="~ 1", fit_type="glmGamPoi",
                  engine="fused")
+
+
+def test_sc_mixed_dense_budget_exact(monkeypatch):
+    """Mixed dense/row-gather cascades are exact: a budget that grants
+    only SOME cascade levels dense straggler blocks (the _DenseLedger
+    per-stage accounting, added after the 2025 libtpu HBM-at-compile
+    change) must reproduce the all-dense and all-row-gather answers
+    bit-for-bit — gather -> identical body -> scatter either way.
+
+    maxit differs per call only to defeat the jit cache (the dense
+    decision is trace-time Python, invisible to the cache key); all
+    genes converge well before 100 trips so the answers are identical.
+    """
+    from deseq2_tpu.parallel import sc as sc_mod
+    from deseq2_tpu.parallel.sc import fused_sc_results
+
+    rng = np.random.default_rng(11)
+    G, S = 6000, 200
+    counts = rng.negative_binomial(2, 0.3, size=(G, S)).astype(np.int64)
+    cells = rng.integers(0, 3, S).astype(np.int32)
+
+    outs = []
+    for budget, maxit in (("0", 100), ("1000000000", 101),
+                          ("9000000", 102)):
+        monkeypatch.setenv("DESEQ2_TPU_SC_DENSE_BUDGET", budget)
+        outs.append(fused_sc_results(counts, cells=cells, n_groups=3,
+                                     size_factors=np.ones(S),
+                                     maxit=maxit))
+    # the split budget must actually have granted at least one block
+    # and refused at least one (otherwise the fixture stopped covering
+    # the mixed mode and needs retuning)
+    monkeypatch.setenv("DESEQ2_TPU_SC_DENSE_BUDGET", "9000000")
+    sc_mod._DENSE.configure()
+    assert sc_mod._DENSE.grant(8_388_608)       # 1024 x 2048 x 4
+    assert not sc_mod._DENSE.grant(4_194_304)   # 512 x 2048 x 4
+    for k in ("baseMean", "log2FoldChange", "pvalue", "padj",
+              "dispersion", "dispGeneEst"):
+        a = np.asarray(outs[0][k], float)
+        for o in outs[1:]:
+            b = np.asarray(o[k], float)
+            np.testing.assert_allclose(a, b, rtol=0, atol=0,
+                                       err_msg=k, equal_nan=True)
