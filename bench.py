@@ -529,6 +529,16 @@ def main_sc():
     t0 = time.perf_counter()
     stat, padj = run_sync()
     dt = time.perf_counter() - t0
+    # tunnel-chip throughput drifts run to run; BENCH_SC_REPS>1 takes
+    # the best of N warm repetitions so A/B comparisons see the same
+    # machine state (the pipeline is deterministic — variance is all
+    # environment)
+    reps = []
+    for _ in range(int(os.environ.get("BENCH_SC_REPS", "1")) - 1):
+        t0 = time.perf_counter()
+        stat, padj = run_sync()
+        reps.append(time.perf_counter() - t0)
+        dt = min(dt, reps[-1])
     assert np.isfinite(stat).mean() > 0.9
     assert np.isfinite(padj).any()
     name = ("covariate_ql" if cov_mode
