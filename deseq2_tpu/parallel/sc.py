@@ -69,7 +69,7 @@ class _DenseLedger:
     tests/test_sc.py::test_sc_mixed_dense_budget_exact).
 
     Budget: DESEQ2_TPU_SC_DENSE_BUDGET bytes per stage program
-    (default 1.6 GB, 0 disables dense blocks).  Baked at trace time —
+    (default 2.2 GB — measured fastest at 30k x 50k and leaves >2 GB more headroom than all-dense; 0 disables dense blocks).  Baked at trace time —
     changing the env var mid-process only affects not-yet-compiled
     shapes.
     """
@@ -81,7 +81,7 @@ class _DenseLedger:
     def configure(self):
         import os
         self.budget = int(os.environ.get("DESEQ2_TPU_SC_DENSE_BUDGET",
-                                         1_600_000_000))
+                                         2_200_000_000))
         self.used = 0
 
     def reset_stage(self):
